@@ -1,0 +1,202 @@
+"""The multigrid engine: V-cycle, reduced cycles, and the coarse "exact"
+solve, compiled as a single XLA program per problem configuration.
+
+Re-design of the reference engine (fortran/ndsm_multigrid_core.f90):
+
+  * ``v_cycle`` (:341-377) — descend with pre-smooth/residual/restrict,
+    relax-to-convergence on the coarsest grid, ascend with
+    smooth/interpolate/correct/post-smooth.  Levels have static shapes, so
+    the level loop is unrolled at trace time into one fused program; there
+    is no per-cycle allocation (the reference mallocs/frees coarse buffers
+    every cycle — quirk Q9).
+  * ``solve_exact`` (:728-800) — a ``lax.while_loop`` of relaxation sweeps
+    carrying (u, u_prev, du, iter); the inter-iterate (max|Δu| or mean|Δu|)
+    metric and the ``du <= ex_tol`` stopping rule match the reference
+    (including the initial comparison against a zeroed saved state,
+    :756-761).
+  * ``two_grid`` / ``one_grid`` (:385-441) — reduced drivers for testing.
+
+Smoothing order per cycle matches the reference exactly: ms pre-smooth
+sweeps on each level going down (fine_to_coarse :523-525), the coarse
+solve, then for each level going up: ms sweeps on the coarse level
+(coarse_to_fine :642-644), interpolate + add the correction (:659-672),
+and ms post-smooth sweeps on the fine level (:680-682) — note the coarsest
+level is smoothed ms more times *after* solve_exact.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..grids import GridHierarchy
+from ..ops import stencils
+from ..ops.reduce import du_metrics
+from ..ops.transfer import interp_matrix_1d, restrict_matrix_1d, apply_axis_matrices
+
+__all__ = ["MGEngine"]
+
+
+class MGEngine:
+    """Trace-time builder for the multigrid cycle functions of one problem
+    configuration (hierarchy + boundary conditions + metric + dtype).
+
+    All methods named ``t_*`` are traceable: they accept and return JAX
+    arrays and may be called inside jit.
+    """
+
+    def __init__(
+        self,
+        hierarchy: GridHierarchy,
+        bcs: Sequence[Sequence[str]],
+        *,
+        ms: int,
+        du_max: bool,
+        dtype,
+    ):
+        self.h = hierarchy
+        self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
+        self.ms = int(ms)
+        self.du_max = bool(du_max)
+        self.dtype = jnp.dtype(dtype)
+
+        # Per-level spacings (static python floats -> device constants).
+        self._dq = [np.asarray(d, dtype=np.float64) for d in hierarchy.dq]
+
+        # Per-level-pair separable transfer matrices
+        # (reference: mg_interp/mg_restrict drivers delegating to the
+        # coordinate-based ninterp/nrestrict, ndsm_multigrid_core.f90:865,1010).
+        self._interp_mats: List[List[np.ndarray]] = []
+        self._restrict_mats: List[List[np.ndarray]] = []
+        for l in range(hierarchy.ngrids - 1):
+            fine = hierarchy.meshes[l]
+            coarse = hierarchy.meshes[l + 1]
+            self._interp_mats.append(
+                [interp_matrix_1d(f, c) for f, c in zip(fine, coarse)]
+            )
+            self._restrict_mats.append(
+                [restrict_matrix_1d(c, f) for f, c in zip(fine, coarse)]
+            )
+
+    # ------------------------------------------------------------------
+    # Level primitives
+    # ------------------------------------------------------------------
+
+    def t_sweep(self, u, rhs, level: int):
+        dq = self._dq[level]
+        return stencils.rb_sweep(u, rhs, dq, self.bcs)
+
+    def t_smooth(self, u, rhs, level: int, nsweeps: int | None = None):
+        n = self.ms if nsweeps is None else nsweeps
+        for _ in range(n):
+            u = self.t_sweep(u, rhs, level)
+        return u
+
+    def t_residual(self, u, rhs, level: int):
+        return stencils.poisson_residual(u, rhs, self._dq[level], self.bcs)
+
+    def t_restrict(self, r, level: int):
+        """Restrict fine-level ``r`` at ``level`` to level+1."""
+        return apply_axis_matrices(r, self._restrict_mats[level])
+
+    def t_prolong(self, u_c, level: int):
+        """Prolong coarse ``u_c`` at ``level+1`` to ``level``."""
+        return apply_axis_matrices(u_c, self._interp_mats[level])
+
+    def t_metric(self, u_new, u_old):
+        dmax, dmean = du_metrics(u_new, u_old)
+        return dmax if self.du_max else dmean
+
+    # ------------------------------------------------------------------
+    # Coarse "exact" solve
+    # ------------------------------------------------------------------
+
+    def t_solve_exact(self, u, rhs, level: int, ex_tol, nmax_exact, warn: bool = True):
+        """Relax until the inter-iterate change is <= ex_tol or nmax_exact
+        sweeps (reference: solve_exact, ndsm_multigrid_core.f90:728-800).
+        The saved state starts zeroed exactly as in the reference (:757)."""
+        ex_tol = jnp.asarray(ex_tol).astype(self.dtype)
+        big = jnp.asarray(jnp.finfo(self.dtype).max, dtype=self.dtype)
+
+        def cond(c):
+            _, _, du, it = c
+            return jnp.logical_and(du > ex_tol, it < nmax_exact)
+
+        def body(c):
+            u, u_sav, _, it = c
+            u = self.t_sweep(u, rhs, level)
+            du = self.t_metric(u, u_sav)
+            return (u, u, du, it + 1)
+
+        init = (u, jnp.zeros_like(u), big, jnp.asarray(0, dtype=jnp.int32))
+        u, _, du, _ = lax.while_loop(cond, body, init)
+        if warn:
+            _warn_if(
+                du > ex_tol,
+                "Warning: IOPT_NMAXEX exceeded. "
+                "Coarse-mesh solution may not have converged",
+            )
+        return u
+
+    # ------------------------------------------------------------------
+    # Cycles
+    # ------------------------------------------------------------------
+
+    def t_vcycle(self, u, rhs, ex_tol, nmax_exact):
+        """One V-cycle on the finest level (reference: v_cycle,
+        ndsm_multigrid_core.f90:341-377)."""
+        L = self.h.ngrids
+        us = [None] * L
+        rhss = [None] * L
+        us[0], rhss[0] = u, rhs
+
+        # Descend (fine_to_coarse, :482-560)
+        for l in range(L - 1):
+            ul = self.t_smooth(us[l], rhss[l], l)
+            r = self.t_residual(ul, rhss[l], l)
+            rhss[l + 1] = self.t_restrict(r, l)
+            us[l] = ul
+            us[l + 1] = jnp.zeros(self.h.shapes[l + 1], dtype=self.dtype)
+
+        # Coarsest-grid solve (:370)
+        us[L - 1] = self.t_solve_exact(us[L - 1], rhss[L - 1], L - 1, ex_tol, nmax_exact)
+
+        # Ascend (coarse_to_fine, :593-684)
+        for l in range(L - 2, -1, -1):
+            uc = self.t_smooth(us[l + 1], rhss[l + 1], l + 1)
+            cor = self.t_prolong(uc, l)
+            us[l] = self.t_smooth(us[l] + cor, rhss[l], l)
+
+        return us[0]
+
+    def t_two_grid(self, u, rhs, ex_tol, nmax_exact):
+        """Two-grid correction scheme for testing (reference: two_grid,
+        ndsm_multigrid_core.f90:385-410)."""
+        ul = self.t_smooth(u, rhs, 0)
+        r = self.t_residual(ul, rhs, 0)
+        rhs_c = self.t_restrict(r, 0)
+        u_c = jnp.zeros(self.h.shapes[1], dtype=self.dtype)
+        u_c = self.t_solve_exact(u_c, rhs_c, 1, ex_tol, nmax_exact)
+        u_c = self.t_smooth(u_c, rhs_c, 1)
+        cor = self.t_prolong(u_c, 0)
+        return self.t_smooth(ul + cor, rhs, 0)
+
+    def t_one_grid(self, u, rhs, ex_tol, nmax_exact):
+        """Single-grid relax-to-convergence (reference: one_grid,
+        ndsm_multigrid_core.f90:424-441)."""
+        return self.t_solve_exact(u, rhs, 0, ex_tol, nmax_exact)
+
+
+def _warn_if(pred, msg: str) -> None:
+    """Host-side warning print gated on a traced predicate (the reference
+    prints these warnings unconditionally via PRINT *,
+    ndsm_multigrid_core.f90:796-798; ndsm_poisson.f90:147-150)."""
+
+    def _true():
+        jax.debug.print(msg)
+
+    lax.cond(pred, _true, lambda: None)

@@ -1,0 +1,266 @@
+"""Poisson boundary-value-problem driver: V-cycle iteration with the
+inter-cycle convergence metric, tolerance logic and error flags of the
+reference (``solve_poisson_bvp``, fortran/ndsm_poisson.f90:63-155), plus a
+TPU-native mixed-precision mode.
+
+Precision modes
+---------------
+  * ``fp64``: the whole algorithm runs in float64 — step-for-step the
+    reference algorithm (float64 is software-emulated on TPU).
+  * ``mixed`` (TPU default): each outer iteration computes the defect
+    ``r = rhs - L[u]`` in float64, solves ``L e = r`` with one float32
+    V-cycle (scaled to unit magnitude so float32 resolution is always
+    sufficient), and applies ``u += e`` in float64.  For a linear problem a
+    V-cycle is a linear fixed-point iteration, so the correction-equation
+    cycle from a zero initial guess is algebraically identical to cycling
+    on ``u`` directly; the convergence metric du = |Δu| between cycles and
+    the vc_tol contract are evaluated in float64 exactly as in fp64 mode.
+    The only deviation: the coarse-grid ex_tol is floored at ~32·eps_f32
+    of the (unit-scaled) correction, which can slightly change the
+    V-cycle count but not the converged solution (guarded by the float64
+    outer loop).
+  * ``fp32``: everything float32 (use with loose tolerances).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..grids import GridHierarchy
+from ..options import IERR_COVFAIL, IERR_SUCCESS, Options, SolveInfo
+from ..ops import stencils
+from .engine import MGEngine, _warn_if
+
+__all__ = ["PoissonBVP", "solve_poisson_bvp"]
+
+_ENGINE_CACHE: Dict = {}
+
+
+def _cached_engine(hierarchy, bcs, ms, du_max, dtype):
+    key = (hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name)
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = MGEngine(hierarchy, bcs, ms=ms, du_max=du_max, dtype=dtype)
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
+class PoissonBVP:
+    """A reusable handle for one Poisson BVP configuration — the analogue of
+    ``MG_HANDLE`` + ``solve_poisson_bvp`` (reference usage pattern:
+    tests/unit_tests/unit_test_2D_solve.f90:202-211).
+
+    Parameters:
+      hierarchy: static level metadata (shapes, meshes, spacings).
+      bcs: per-axis ("N"/"D", "N"/"D") homogeneous boundary conditions,
+        ordered like the array axes (C order).
+      options: solver options; ``options.precision`` picks the mode.
+    """
+
+    def __init__(
+        self,
+        hierarchy: GridHierarchy,
+        bcs: Sequence[Sequence[str]],
+        options: Options = Options(),
+    ):
+        self.h = hierarchy
+        self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
+        self.options = options
+        self.mode = options.resolve_precision()
+        if self.mode not in ("fp64", "mixed", "fp32"):
+            raise ValueError(f"unknown precision mode {self.mode!r}")
+        self.outer_dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
+        self.inner_dtype = jnp.float64 if self.mode == "fp64" else jnp.float32
+        du_max = options.du_max
+        self._inner = _cached_engine(hierarchy, self.bcs, options.ms, du_max, self.inner_dtype)
+        self._outer = (
+            self._inner
+            if self.inner_dtype == self.outer_dtype
+            else _cached_engine(hierarchy, self.bcs, options.ms, du_max, self.outer_dtype)
+        )
+        self._all_neumann = stencils.is_all_neumann(self.bcs)
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._vcycle_jit = jax.jit(self._inner.t_vcycle)
+        self._two_grid_jit = jax.jit(self._inner.t_two_grid)
+        self._one_grid_jit = jax.jit(self._inner.t_one_grid)
+
+    # ------------------------------------------------------------------
+
+    def _cycle_body_direct(self, u, rhs, ex_tol, nmax_exact):
+        u_new = self._inner.t_vcycle(u, rhs, ex_tol, nmax_exact)
+        return u_new
+
+    def _cycle_body_mixed(self, u, rhs, ex_tol, nmax_exact):
+        eng64, eng32 = self._outer, self._inner
+        r0 = eng64.t_residual(u, rhs, 0)
+        s = jnp.max(jnp.abs(r0))
+        s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
+        r32 = (r0 / s_safe).astype(self.inner_dtype)
+        eps32 = 32.0 * float(np.finfo(np.float32).eps)
+        ex_tol_eff = jnp.maximum(ex_tol, eps32)
+        e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
+        e32 = eng32.t_vcycle(e0, r32, ex_tol_eff, nmax_exact)
+        e = e32.astype(self.outer_dtype) * s_safe
+        e = jnp.where(s > 0, e, jnp.zeros_like(e))
+        u_new = u + e
+        if self._all_neumann:
+            u_new = u_new - jnp.mean(u_new)
+        return u_new
+
+    def _solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+        """Outer V-cycle loop (reference: VCYCLE_LOOP,
+        ndsm_poisson.f90:116-141): iterate until the selected inter-cycle
+        metric du is < vc_tol, or nmax cycles have run (-> IERR_COVFAIL)."""
+        cycle = (
+            self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
+        )
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
+        vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
+
+        def cond(c):
+            _, du, it = c
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def body(c):
+            u, _, it = c
+            u_new = cycle(u, rhs, ex_tol, nmax_exact)
+            du = self._outer.t_metric(u_new, u)
+            if self.options.debug:
+                jax.debug.print("DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du)
+            return (u_new, du, it + 1)
+
+        init = (u0, big, jnp.asarray(0, dtype=jnp.int32))
+        u, du, it = lax.while_loop(cond, body, init)
+        converged = du < vc_tol
+        _warn_if(
+            jnp.logical_not(converged),
+            "Warning: IOPT_NCYCLES exceeded. "
+            "V-cycle iteration may not have converged",
+        )
+        ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
+        return u, du, it, ierr
+
+    # ------------------------------------------------------------------
+
+    def solve(
+        self,
+        u0,
+        rhs,
+        *,
+        vc_tol: Optional[float] = None,
+        ex_tol: Optional[float] = None,
+        ncycles_max: Optional[int] = None,
+        niterex_max: Optional[int] = None,
+        name: str = "",
+    ) -> Tuple[jax.Array, SolveInfo]:
+        """Solve ``laplace(u) = rhs`` starting from ``u0`` (which also
+        carries inhomogeneous Dirichlet data on "D" faces — those values
+        are held fixed, reference: ndsm_poisson.f90:591-594).
+
+        Returns (u, SolveInfo).  Tolerances default to the handle options.
+        """
+        o = self.options
+        vc_tol = o.vc_tol if vc_tol is None else vc_tol
+        ex_tol = o.ex_tol if ex_tol is None else ex_tol
+        nmax = o.ncycles_max if ncycles_max is None else ncycles_max
+        nmax_exact = o.niterex_max if niterex_max is None else niterex_max
+
+        u0 = jnp.asarray(u0, dtype=self.outer_dtype)
+        rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
+        if u0.shape != self.h.fine_shape or rhs.shape != self.h.fine_shape:
+            raise ValueError(
+                f"u0/rhs shape {u0.shape}/{rhs.shape} != fine grid "
+                f"{self.h.fine_shape}"
+            )
+        u, du, it, ierr = self._solve_jit(
+            u0,
+            rhs,
+            jnp.float64(vc_tol),
+            jnp.float64(ex_tol),
+            jnp.int32(nmax),
+            jnp.int32(nmax_exact),
+        )
+        info = SolveInfo(
+            ierr=int(ierr), du_last=float(du), cycles=int(it), name=name
+        )
+        return u, info
+
+    # Reduced-cycle drivers, handy for operator-isolation tests
+    # (reference: one_grid/two_grid, ndsm_multigrid_core.f90:385-441).
+
+    def vcycle(self, u, rhs, *, ex_tol=None, niterex_max=None):
+        o = self.options
+        return self._vcycle_jit(
+            jnp.asarray(u, self.inner_dtype),
+            jnp.asarray(rhs, self.inner_dtype),
+            jnp.float64(o.ex_tol if ex_tol is None else ex_tol),
+            jnp.int32(o.niterex_max if niterex_max is None else niterex_max),
+        )
+
+    def two_grid(self, u, rhs, *, ex_tol=None, niterex_max=None):
+        o = self.options
+        return self._two_grid_jit(
+            jnp.asarray(u, self.inner_dtype),
+            jnp.asarray(rhs, self.inner_dtype),
+            jnp.float64(o.ex_tol if ex_tol is None else ex_tol),
+            jnp.int32(o.niterex_max if niterex_max is None else niterex_max),
+        )
+
+    def one_grid(self, u, rhs, *, ex_tol=None, niterex_max=None):
+        o = self.options
+        return self._one_grid_jit(
+            jnp.asarray(u, self.inner_dtype),
+            jnp.asarray(rhs, self.inner_dtype),
+            jnp.float64(o.ex_tol if ex_tol is None else ex_tol),
+            jnp.int32(o.niterex_max if niterex_max is None else niterex_max),
+        )
+
+
+_BVP_CACHE: Dict = {}
+
+
+def get_poisson_bvp(
+    hierarchy: GridHierarchy,
+    bcs: Sequence[Sequence[str]],
+    options: Options = Options(),
+) -> PoissonBVP:
+    """Memoized PoissonBVP construction: repeated solves with the same
+    configuration reuse the compiled program."""
+    bcs_t = tuple(tuple(b) for b in bcs)
+    opt_key = dataclasses.astuple(
+        dataclasses.replace(options, vc_tol=0.0, ex_tol=0.0, ncycles_max=0, niterex_max=0)
+    )
+    key = (hierarchy, bcs_t, opt_key)
+    bvp = _BVP_CACHE.get(key)
+    if bvp is None:
+        bvp = PoissonBVP(hierarchy, bcs_t, options)
+        _BVP_CACHE[key] = bvp
+    return bvp
+
+
+def solve_poisson_bvp(
+    u0,
+    rhs,
+    meshes: Sequence[np.ndarray],
+    bcs: Sequence[Sequence[str]],
+    *,
+    ngrids: Optional[int] = None,
+    options: Options = Options(),
+) -> Tuple[jax.Array, SolveInfo]:
+    """Functional one-shot Poisson solve.
+
+    Solves ``laplace(u) = rhs`` on the uniform per-axis mesh given by
+    ``meshes`` (one coordinate vector per array axis) with homogeneous
+    "N"/"D" conditions per face; Dirichlet faces take their (possibly
+    nonzero) values from ``u0``.  The multigrid hierarchy depth defaults to
+    the reference rule ``floor(log2(min(shape)/2))``.
+    """
+    hierarchy = GridHierarchy.from_mesh(meshes, ngrids=ngrids)
+    bvp = get_poisson_bvp(hierarchy, bcs, options)
+    return bvp.solve(u0, rhs)

@@ -1,0 +1,113 @@
+"""Typed options and result records.
+
+Replaces the reference's fixed-length ABI option vectors ``iopt``/``ropt``
+(reference: fortran/ndsm_vector_potential.f90:40-57 and the getter functions
+in fortran/ndsm_python_wrapper.f90:164-235) with a plain dataclass carrying
+the same knobs and the same defaults (reference: ndsm.py:66).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Error codes (reference: fortran/ndsm_poisson.f90:46-47)
+IERR_SUCCESS = 0  #: solve converged within ncycles_max
+IERR_COVFAIL = 1  #: V-cycle iteration hit ncycles_max without du < vc_tol
+IERR_BADMESH = 2  #: invalid mesh (reference: ndsm_vector_potential.f90:213-216)
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Solver options with the reference defaults (reference: ndsm.py:66).
+
+    Attributes:
+      ms: relaxation sweeps before/after each restriction/prolongation
+        (reference IOPT_MS).
+      ncycles_max: max V-cycles before declaring non-convergence
+        (reference IOPT_NCYCLES).
+      niterex_max: max relaxation iterations for the coarse "exact" solve
+        (reference IOPT_NMAXEX).
+      ex_tol: coarse-grid convergence tolerance on the inter-iteration
+        change (reference ROPT_CTOL).
+      vc_tol: V-cycle convergence tolerance on the inter-cycle change
+        (reference ROPT_VTOL).
+      mean: if True use the mean |change| as the convergence metric instead
+        of the max (reference IOPT_DUMAX inverted; ndsm.py:196-199).
+      debug: print per-phase / per-cycle diagnostics
+        (reference IOPT_DEBUG; ndsm_root.f90:64).
+      precision: "fp64" runs the whole algorithm in float64 (reference
+        semantics); "mixed" runs each V-cycle in float32 inside an outer
+        float64 defect-correction loop, which is algebraically equivalent
+        for this linear problem and much faster on TPU; "fp32" runs
+        everything in float32 (loose tolerances only). "auto" selects
+        "mixed" on TPU and "fp64" on CPU.
+      flux_correction_order: 0 (default) adds the analytic flux-balance
+        vector potential first and then takes the numerical curl;
+        1 takes the curl first and adds both analytic corrections
+        (reference IOPT_FLXCRL; ndsm_vector_potential.f90:453-477).
+      per_face: solve the 3D BVPs one face at a time and sum (the
+        reference's IOPT_FACE1 path is dead code due to a constant SELECT
+        CASE — quirk Q1 in SURVEY.md; here the flag actually works).
+      honor_ms_for_az: the reference hardcodes ms=5 for the Az solve
+        (quirk Q3, ndsm_vector_potential.f90:685). True (default) uses
+        ``ms`` uniformly; set False for bug-compatible behavior.
+      reference_flux_quirk: the reference integrates every face's flux with
+        the (dx, dy) spacings regardless of the face's in-plane axes
+        (ndsm_vector_potential.f90:300-306), and differentiates chi with
+        the face-normal axis spacing (ndsm_vector_potential.f90:394-397).
+        For the cubic uniform meshes of all shipped tests this is
+        immaterial. False (default) uses the correct per-axis spacings;
+        True reproduces the reference bit patterns on anisotropic meshes.
+    """
+
+    ms: int = 5
+    ncycles_max: int = 1024
+    niterex_max: int = 10000
+    ex_tol: float = 1e-13
+    vc_tol: float = 1e-10
+    mean: bool = False
+    debug: bool = False
+    precision: str = "auto"
+    flux_correction_order: int = 0
+    per_face: bool = False
+    honor_ms_for_az: bool = True
+    reference_flux_quirk: bool = False
+
+    @property
+    def du_max(self) -> bool:
+        """True when the max-metric is in use (reference IOPT_DUMAX)."""
+        return not self.mean
+
+    def resolve_precision(self, platform: Optional[str] = None) -> str:
+        if self.precision != "auto":
+            return self.precision
+        if platform is None:
+            import jax
+
+            platform = jax.devices()[0].platform
+        return "fp64" if platform == "cpu" else "mixed"
+
+
+@dataclasses.dataclass
+class SolveInfo:
+    """Per-solve diagnostics.
+
+    The reference only surfaces the ierr of the *last* 2D chi solve
+    (quirk Q2, SURVEY.md); here every sub-solve reports its own status.
+    """
+
+    ierr: int = IERR_SUCCESS
+    du_last: float = 0.0
+    cycles: int = 0
+    name: str = ""
+
+
+@dataclasses.dataclass
+class VectorPotentialInfo:
+    """Aggregate diagnostics for a full vector-potential solve."""
+
+    ierr: int = IERR_SUCCESS
+    chi: Tuple[SolveInfo, ...] = ()
+    components: Tuple[SolveInfo, ...] = ()
+    wall_time: float = 0.0

@@ -1,0 +1,271 @@
+"""3D Coulomb-gauge vector-potential pipeline.
+
+Given the normal component of B on the six faces of a Cartesian box,
+computes the current-free (potential) field B and a vector potential A with
+``B = curl(A)``, ``div(A) = 0`` (Yang, Wheatland & Gilchrist 2020).
+
+Pipeline (reference: compute_vector_potential,
+fortran/ndsm_vector_potential.f90:130-497; see SURVEY.md §3.1):
+
+  1. extract Bn on the six faces (:283-293),
+  2. trapezoid-rule fluxes per face (:300-306),
+  3. six flux-balanced all-Neumann 2D Poisson solves for chi
+     (laplace(chi) = Bn - Phi/Area) (:338-365),
+  4. tangential vector-potential boundary data At = -grad(chi) x n with
+     edge derivatives zeroed (:977-1031),
+  5. three 3D mixed-BC vector-Laplace solves, one per component, with
+     Neumann on the two faces normal to the component and Dirichlet (At
+     data) on the other four (:598-691),
+  6. analytic flux-balance correction fields (:880-950) and B = curl(A)
+     (:759-811), in the order selected by ``flux_correction_order``
+     (:453-477).
+
+Deliberate fixes of reference quirks (SURVEY.md):
+  Q1 — the per-face solve path is reachable here (``Options.per_face``);
+  Q2 — every sub-solve's ierr is propagated (the reference returns only the
+       last chi solve's flag);
+  Q3 — ``ms`` is honored for the Az solve unless
+       ``Options.honor_ms_for_az=False``.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..grids import GridHierarchy
+from ..options import Options, SolveInfo, VectorPotentialInfo
+from ..ops.deriv import curl
+from ..ops.reduce import trapz_2d
+from ..mg.poisson import get_poisson_bvp
+from . import faces as F
+
+__all__ = ["compute_vector_potential"]
+
+
+def _central_diff_zero_edges(c: jax.Array, h: float, axis: int) -> jax.Array:
+    """Second-order central difference along ``axis`` with the derivative
+    defined as zero on the first/last layer of that axis
+    (reference compute_At_bcs, ndsm_vector_potential.f90:1006-1017)."""
+    inv2h = jnp.asarray(0.5 / h, dtype=c.dtype)
+    interior = (
+        lax.slice_in_dim(c, 2, c.shape[axis], axis=axis)
+        - lax.slice_in_dim(c, 0, c.shape[axis] - 2, axis=axis)
+    ) * inv2h
+    zshape = list(c.shape)
+    zshape[axis] = 1
+    z = jnp.zeros(zshape, dtype=c.dtype)
+    return jnp.concatenate([z, interior, z], axis=axis)
+
+
+def compute_vector_potential(
+    meshes: Sequence[np.ndarray],
+    b,
+    options: Options = Options(),
+) -> Tuple[int, jax.Array, jax.Array, VectorPotentialInfo]:
+    """Compute (ierr, A, B, info) from boundary Bn.
+
+    Args:
+      meshes: (x, y, z) 1-D coordinate vectors (uniform spacing each).
+      b: (3, nz, ny, nx) array; only the normal components on the six
+        boundary faces are read (quirk Q12) — B is recomputed in full.
+      options: solver options.
+
+    Returns:
+      ierr: 0 on success; max over all nine sub-solves' flags.
+      A: (3, nz, ny, nx) vector potential.
+      B: (3, nz, ny, nx) magnetic field = curl(A) (+ corrections).
+      info: per-solve diagnostics.
+    """
+    t0 = time.perf_counter()
+    x, y, z = (np.asarray(m, dtype=np.float64) for m in meshes)
+    mesh_xyz = (x, y, z)
+    for i, m in enumerate(mesh_xyz):
+        if m.ndim != 1 or m.size < 2:
+            raise ValueError(f"mesh vector {i} must be 1-D with >= 2 points")
+
+    mode = options.resolve_precision()
+    dtype = jnp.float32 if mode == "fp32" else jnp.float64
+    b = jnp.asarray(b, dtype=dtype)
+    nz, ny, nx = len(z), len(y), len(x)
+    if b.shape != (3, nz, ny, nx):
+        raise ValueError(f"b shape {b.shape} != (3, {nz}, {ny}, {nx})")
+
+    # Mesh extents and (uniform) spacings
+    # (reference: ndsm_vector_potential.f90:201-221).
+    Lq = np.array([m.max() - m.min() for m in mesh_xyz])
+    dq = np.array([m[1] - m[0] for m in mesh_xyz])
+
+    # ------------------------------------------------------------------
+    # Faces: extract Bn, fluxes, areas
+    # ------------------------------------------------------------------
+    bn = []
+    for f in range(6):
+        comp = F.FACE_COMP[f]
+        idx = F.face_volume_index(f, (nz, ny, nx))
+        bn.append(b[comp][idx])  # C axes (d2, d1)
+
+    phi = []
+    for f in range(6):
+        d1, d2 = F.FACE_DIMS[f]
+        if options.reference_flux_quirk:
+            # Reference integrates every face with (dx, dy)
+            # (ndsm_vector_potential.f90:300-306).
+            s0, s1 = dq[0], dq[1]
+        else:
+            s0, s1 = dq[d2], dq[d1]
+        phi.append(trapz_2d(bn[f], float(s0), float(s1)))
+    phi = jnp.stack(phi)
+
+    areas = np.array([Lq[d1] * Lq[d2] for (d1, d2) in F.FACE_DIMS])
+
+    # ------------------------------------------------------------------
+    # Six all-Neumann 2D solves: laplace(chi) = Bn - Phi/Area
+    # (reference: ndsm_vector_potential.f90:338-365)
+    # ------------------------------------------------------------------
+    chi = []
+    chi_info = []
+    for f in range(6):
+        d1, d2 = F.FACE_DIMS[f]
+        mesh2d = (mesh_xyz[d2], mesh_xyz[d1])  # C axis order
+        hierarchy = GridHierarchy.from_mesh(mesh2d)
+        bvp = get_poisson_bvp(hierarchy, (("N", "N"), ("N", "N")), options)
+        rhs = bn[f] - phi[f] / areas[f]
+        u0 = jnp.zeros_like(rhs)
+        u, info = bvp.solve(u0, rhs, name=f"chi_face{f}")
+        chi.append(u)
+        chi_info.append(info)
+
+    # ------------------------------------------------------------------
+    # At = -grad(chi) x n, edge derivatives zeroed
+    # (reference: ndsm_vector_potential.f90:387-399, 977-1031)
+    # ------------------------------------------------------------------
+    At1, At2 = [], []
+    for f in range(6):
+        d1, d2 = F.FACE_DIMS[f]
+        if options.reference_flux_quirk:
+            # Reference differentiates with the *normal* axis' spacing
+            # (ndsm_vector_potential.f90:394-397).
+            h1 = h2 = dq[F.FACE_COMP[f]]
+        else:
+            h1, h2 = dq[d1], dq[d2]
+        dchi_d1 = _central_diff_zero_edges(chi[f], float(h1), axis=1)
+        dchi_d2 = _central_diff_zero_edges(chi[f], float(h2), axis=0)
+        s1, s2 = F.at_signs(f)
+        At1.append(s1 * dchi_d2)
+        At2.append(s2 * dchi_d1)
+
+    # ------------------------------------------------------------------
+    # Three 3D mixed-BC solves (reference solve(), :598-691), or the
+    # per-face superposition (reference solve_6faces(), :501-594).
+    # ------------------------------------------------------------------
+    comp_info = []
+
+    def _solve_components(active_face: Optional[int]):
+        comps = []
+        for comp in range(3):
+            # BCs per C axis (z, y, x): Neumann on the faces normal to
+            # this component, Dirichlet elsewhere
+            # (reference BC tables, :655,:671,:687).
+            bcs = tuple(
+                ("N", "N") if (2 - axis) == comp else ("D", "D") for axis in range(3)
+            )
+            u0 = jnp.zeros((nz, ny, nx), dtype=dtype)
+            for f in range(6):
+                if F.FACE_COMP[f] == comp:
+                    continue
+                if active_face is not None and f != active_face:
+                    continue
+                slot = F.face_at_component(f, comp)
+                data = At1[f] if slot == 1 else At2[f]
+                u0 = u0.at[F.face_volume_index(f, (nz, ny, nx))].set(data)
+            hierarchy = GridHierarchy.from_mesh((z, y, x))
+            ms = options.ms
+            if comp == 2 and not options.honor_ms_for_az:
+                ms = 5  # reference hardcodes Az's ms (quirk Q3, :685)
+            opts = options if ms == options.ms else __import__(
+                "dataclasses"
+            ).replace(options, ms=ms)
+            bvp = get_poisson_bvp(hierarchy, bcs, opts)
+            rhs = jnp.zeros_like(u0)
+            u, info = bvp.solve(
+                u0, rhs, name=f"A{'xyz'[comp]}" + ("" if active_face is None else f"_face{active_face}")
+            )
+            comp_info.append(info)
+            comps.append(u)
+        return jnp.stack(comps)
+
+    if options.per_face:
+        A = jnp.zeros((3, nz, ny, nx), dtype=dtype)
+        for f in range(6):
+            A = A + _solve_components(f)
+    else:
+        A = _solve_components(None)
+
+    # ------------------------------------------------------------------
+    # Flux-balance correction + curl (reference :453-477; default order:
+    # analytic A correction first, then B = curl(A) numerically)
+    # ------------------------------------------------------------------
+    dqj = jnp.asarray(dq, dtype=dtype)
+    if options.flux_correction_order == 1:
+        B = curl(A, dqj)
+        B, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A)
+    else:
+        _, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, b, A)
+        B = curl(A, dqj)
+
+    ierr = max([s.ierr for s in chi_info] + [s.ierr for s in comp_info])
+    info = VectorPotentialInfo(
+        ierr=ierr,
+        chi=tuple(chi_info),
+        components=tuple(comp_info),
+        wall_time=time.perf_counter() - t0,
+    )
+    return ierr, A, B, info
+
+
+def _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A):
+    """Analytic flux-balance fields (reference add_flux_balance_fields,
+    ndsm_vector_potential.f90:880-950): a linear-in-coordinates magnetic
+    field absorbing any net face flux, plus the matching vector potential
+    A_c + (A1_l + A2_l + A3_l)/3."""
+    dtype = A.dtype
+    x = jnp.asarray(mesh_xyz[0], dtype=dtype)[None, None, :]
+    y = jnp.asarray(mesh_xyz[1], dtype=dtype)[None, :, None]
+    z = jnp.asarray(mesh_xyz[2], dtype=dtype)[:, None, None]
+    V = float(np.prod(Lq))
+    g = jnp.stack(
+        [(phi[1] - phi[0]) / V, (phi[3] - phi[2]) / V, (phi[5] - phi[4]) / V]
+    ).astype(dtype)
+
+    bc = jnp.stack(
+        [
+            g[0] * x + phi[0] * Lq[0] / V + 0.0 * (y + z),
+            g[1] * y + phi[2] * Lq[1] / V + 0.0 * (x + z),
+            g[2] * z + phi[4] * Lq[2] / V + 0.0 * (x + y),
+        ]
+    )
+
+    # Sum of the three linear-term potentials (:932-934):
+    # A1_l + A2_l + A3_l = [(g2-g3) y z, (g3-g1) x z, (g1-g2) x y]
+    lin = jnp.stack(
+        [
+            (g[1] - g[2]) * y * z + 0.0 * x,
+            (g[2] - g[0]) * x * z + 0.0 * y,
+            (g[0] - g[1]) * x * y + 0.0 * z,
+        ]
+    )
+    # Constant-term potential (:937-939)
+    Ac = jnp.stack(
+        [
+            -phi[4] * Lq[2] * y / V + 0.0 * (x + z),
+            -phi[0] * Lq[0] * z / V + 0.0 * (x + y),
+            -phi[2] * Lq[1] * x / V + 0.0 * (y + z),
+        ]
+    )
+    return B + bc, A + Ac + lin / 3.0
