@@ -57,12 +57,14 @@ class MGEngine:
         ms: int,
         du_max: bool,
         dtype,
+        shard_spec=None,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.ms = int(ms)
         self.du_max = bool(du_max)
         self.dtype = jnp.dtype(dtype)
+        self.shard_spec = shard_spec
 
         # Per-level spacings (static python floats -> device constants).
         self._dq = [np.asarray(d, dtype=np.float64) for d in hierarchy.dq]
@@ -86,9 +88,16 @@ class MGEngine:
     # Level primitives
     # ------------------------------------------------------------------
 
+    def _constrain(self, x, level: int):
+        """Pin the array to its level's sharding (sharded above the size
+        threshold, replicated below) when running distributed."""
+        if self.shard_spec is None:
+            return x
+        return self.shard_spec.constrain(x)
+
     def t_sweep(self, u, rhs, level: int):
         dq = self._dq[level]
-        return stencils.rb_sweep(u, rhs, dq, self.bcs)
+        return self._constrain(stencils.rb_sweep(u, rhs, dq, self.bcs), level)
 
     def t_smooth(self, u, rhs, level: int, nsweeps: int | None = None):
         n = self.ms if nsweeps is None else nsweeps
@@ -97,15 +106,21 @@ class MGEngine:
         return u
 
     def t_residual(self, u, rhs, level: int):
-        return stencils.poisson_residual(u, rhs, self._dq[level], self.bcs)
+        return self._constrain(
+            stencils.poisson_residual(u, rhs, self._dq[level], self.bcs), level
+        )
 
     def t_restrict(self, r, level: int):
         """Restrict fine-level ``r`` at ``level`` to level+1."""
-        return apply_axis_matrices(r, self._restrict_mats[level])
+        return self._constrain(
+            apply_axis_matrices(r, self._restrict_mats[level]), level + 1
+        )
 
     def t_prolong(self, u_c, level: int):
         """Prolong coarse ``u_c`` at ``level+1`` to ``level``."""
-        return apply_axis_matrices(u_c, self._interp_mats[level])
+        return self._constrain(
+            apply_axis_matrices(u_c, self._interp_mats[level]), level
+        )
 
     def t_metric(self, u_new, u_old):
         dmax, dmean = du_metrics(u_new, u_old)
@@ -194,7 +209,13 @@ class MGEngine:
 def _warn_if(pred, msg: str) -> None:
     """Host-side warning print gated on a traced predicate (the reference
     prints these warnings unconditionally via PRINT *,
-    ndsm_multigrid_core.f90:796-798; ndsm_poisson.f90:147-150)."""
+    ndsm_multigrid_core.f90:796-798; ndsm_poisson.f90:147-150).  On
+    platforms without host-callback support the warning is skipped — the
+    condition still reaches the caller through ierr/SolveInfo."""
+    from ..utils.compat import callbacks_supported
+
+    if not callbacks_supported():
+        return
 
     def _true():
         jax.debug.print(msg)

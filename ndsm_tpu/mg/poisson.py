@@ -42,11 +42,13 @@ __all__ = ["PoissonBVP", "solve_poisson_bvp"]
 _ENGINE_CACHE: Dict = {}
 
 
-def _cached_engine(hierarchy, bcs, ms, du_max, dtype):
-    key = (hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name)
+def _cached_engine(hierarchy, bcs, ms, du_max, dtype, shard_spec=None):
+    key = (hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec)
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
-        eng = MGEngine(hierarchy, bcs, ms=ms, du_max=du_max, dtype=dtype)
+        eng = MGEngine(
+            hierarchy, bcs, ms=ms, du_max=du_max, dtype=dtype, shard_spec=shard_spec
+        )
         _ENGINE_CACHE[key] = eng
     return eng
 
@@ -68,21 +70,27 @@ class PoissonBVP:
         hierarchy: GridHierarchy,
         bcs: Sequence[Sequence[str]],
         options: Options = Options(),
+        shard_spec=None,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.options = options
+        self.shard_spec = shard_spec
         self.mode = options.resolve_precision()
         if self.mode not in ("fp64", "mixed", "fp32"):
             raise ValueError(f"unknown precision mode {self.mode!r}")
         self.outer_dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
         self.inner_dtype = jnp.float64 if self.mode == "fp64" else jnp.float32
         du_max = options.du_max
-        self._inner = _cached_engine(hierarchy, self.bcs, options.ms, du_max, self.inner_dtype)
+        self._inner = _cached_engine(
+            hierarchy, self.bcs, options.ms, du_max, self.inner_dtype, shard_spec
+        )
         self._outer = (
             self._inner
             if self.inner_dtype == self.outer_dtype
-            else _cached_engine(hierarchy, self.bcs, options.ms, du_max, self.outer_dtype)
+            else _cached_engine(
+                hierarchy, self.bcs, options.ms, du_max, self.outer_dtype, shard_spec
+            )
         )
         self._all_neumann = stencils.is_all_neumann(self.bcs)
         self._solve_jit = jax.jit(self._solve_impl)
@@ -132,7 +140,12 @@ class PoissonBVP:
             u_new = cycle(u, rhs, ex_tol, nmax_exact)
             du = self._outer.t_metric(u_new, u)
             if self.options.debug:
-                jax.debug.print("DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du)
+                from ..utils.compat import callbacks_supported
+
+                if callbacks_supported():
+                    jax.debug.print(
+                        "DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du
+                    )
             return (u_new, du, it + 1)
 
         init = (u0, big, jnp.asarray(0, dtype=jnp.int32))
@@ -173,6 +186,9 @@ class PoissonBVP:
 
         u0 = jnp.asarray(u0, dtype=self.outer_dtype)
         rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
+        if self.shard_spec is not None:
+            u0 = self.shard_spec.put(u0)
+            rhs = self.shard_spec.put(rhs)
         if u0.shape != self.h.fine_shape or rhs.shape != self.h.fine_shape:
             raise ValueError(
                 f"u0/rhs shape {u0.shape}/{rhs.shape} != fine grid "
@@ -229,6 +245,7 @@ def get_poisson_bvp(
     hierarchy: GridHierarchy,
     bcs: Sequence[Sequence[str]],
     options: Options = Options(),
+    shard_spec=None,
 ) -> PoissonBVP:
     """Memoized PoissonBVP construction: repeated solves with the same
     configuration reuse the compiled program."""
@@ -236,10 +253,10 @@ def get_poisson_bvp(
     opt_key = dataclasses.astuple(
         dataclasses.replace(options, vc_tol=0.0, ex_tol=0.0, ncycles_max=0, niterex_max=0)
     )
-    key = (hierarchy, bcs_t, opt_key)
+    key = (hierarchy, bcs_t, opt_key, shard_spec)
     bvp = _BVP_CACHE.get(key)
     if bvp is None:
-        bvp = PoissonBVP(hierarchy, bcs_t, options)
+        bvp = PoissonBVP(hierarchy, bcs_t, options, shard_spec=shard_spec)
         _BVP_CACHE[key] = bvp
     return bvp
 
@@ -263,4 +280,13 @@ def solve_poisson_bvp(
     """
     hierarchy = GridHierarchy.from_mesh(meshes, ngrids=ngrids)
     bvp = get_poisson_bvp(hierarchy, bcs, options)
-    return bvp.solve(u0, rhs)
+    # Tolerances/limits are passed per-call: the cached handle may have
+    # been built with different (traced, non-recompiling) values.
+    return bvp.solve(
+        u0,
+        rhs,
+        vc_tol=options.vc_tol,
+        ex_tol=options.ex_tol,
+        ncycles_max=options.ncycles_max,
+        niterex_max=options.niterex_max,
+    )

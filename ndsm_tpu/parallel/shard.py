@@ -1,0 +1,102 @@
+"""Spatial domain decomposition over a JAX device mesh.
+
+The reference's only parallel substrate is shared-memory OpenMP inside one
+node (SURVEY.md §2); distribution is a new, first-class layer here.  The
+grid is block-partitioned along one array axis over the device mesh; every
+level above a size threshold is sharded, and coarse levels below it are
+replicated so the latency-bound coarse solve never pays collective costs
+(BASELINE.json north star).
+
+Two mechanisms are provided:
+
+  * ``ShardSpec`` + GSPMD sharding constraints (this module): the whole
+    V-cycle program is annotated per level and XLA inserts the halo
+    exchanges / collectives.  This is the default multi-chip path: the
+    stencil's shifted-slice reads become 1-deep halo transfers over ICI,
+    reductions become cross-shard collectives, and the sharded<->replicated
+    seam at the threshold level becomes a gather/slice pair.
+  * ``ndsm_tpu.parallel.halo``: an explicit shard_map + ppermute
+    formulation of the smoother for cases where manual overlap of halo
+    exchange with interior compute beats the XLA-chosen schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ShardSpec", "make_mesh"]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "z") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardSpec:
+    """How to partition solver arrays over a device mesh.
+
+    Attributes:
+      mesh: the device mesh.
+      axis: array axis to block-partition (default 0 — the slowest-varying
+        axis, "z" for (nz, ny, nx) volumes).
+      axis_name: mesh axis name.
+      min_rows_per_shard: a level is sharded only if its partitioned-axis
+        extent is at least ``n_devices * min_rows_per_shard``; smaller
+        (coarse) levels are replicated.
+    """
+
+    mesh: Mesh
+    axis: int = 0
+    axis_name: str = "z"
+    min_rows_per_shard: int = 8
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.shape[self.axis_name]
+
+    def is_sharded_level(self, shape: Sequence[int]) -> bool:
+        return shape[self.axis] >= self.n_devices * self.min_rows_per_shard
+
+    def sharding_for(self, shape: Sequence[int]) -> NamedSharding:
+        parts: list = [None] * len(shape)
+        if self.is_sharded_level(shape):
+            parts[self.axis] = self.axis_name
+        return NamedSharding(self.mesh, P(*parts))
+
+    def constrain(self, x: jax.Array) -> jax.Array:
+        return lax.with_sharding_constraint(x, self.sharding_for(x.shape))
+
+    def put(self, x) -> jax.Array:
+        return jax.device_put(x, self.sharding_for(x.shape))
+
+    def __hash__(self):
+        return hash(
+            (
+                tuple(self.mesh.devices.flat),
+                self.mesh.axis_names,
+                self.axis,
+                self.axis_name,
+                self.min_rows_per_shard,
+            )
+        )
+
+    def __eq__(self, other):
+        if not isinstance(other, ShardSpec):
+            return NotImplemented
+        return (
+            tuple(self.mesh.devices.flat) == tuple(other.mesh.devices.flat)
+            and self.mesh.axis_names == other.mesh.axis_names
+            and self.axis == other.axis
+            and self.axis_name == other.axis_name
+            and self.min_rows_per_shard == other.min_rows_per_shard
+        )

@@ -137,7 +137,15 @@ def compute_vector_potential(
         bvp = get_poisson_bvp(hierarchy, (("N", "N"), ("N", "N")), options)
         rhs = bn[f] - phi[f] / areas[f]
         u0 = jnp.zeros_like(rhs)
-        u, info = bvp.solve(u0, rhs, name=f"chi_face{f}")
+        u, info = bvp.solve(
+            u0,
+            rhs,
+            vc_tol=options.vc_tol,
+            ex_tol=options.ex_tol,
+            ncycles_max=options.ncycles_max,
+            niterex_max=options.niterex_max,
+            name=f"chi_face{f}",
+        )
         chi.append(u)
         chi_info.append(info)
 
@@ -194,7 +202,14 @@ def compute_vector_potential(
             bvp = get_poisson_bvp(hierarchy, bcs, opts)
             rhs = jnp.zeros_like(u0)
             u, info = bvp.solve(
-                u0, rhs, name=f"A{'xyz'[comp]}" + ("" if active_face is None else f"_face{active_face}")
+                u0,
+                rhs,
+                vc_tol=options.vc_tol,
+                ex_tol=options.ex_tol,
+                ncycles_max=options.ncycles_max,
+                niterex_max=options.niterex_max,
+                name=f"A{'xyz'[comp]}"
+                + ("" if active_face is None else f"_face{active_face}"),
             )
             comp_info.append(info)
             comps.append(u)

@@ -1,0 +1,157 @@
+"""Multigrid engine and Poisson driver tests: truncation-error scaling
+(port of unit_test_2D_solve.f90), metric/tolerance semantics, reduced
+cycles, and fp64/mixed equivalence."""
+
+import numpy as np
+import pytest
+
+from ndsm_tpu import GridHierarchy, Options, solve_poisson_bvp
+from ndsm_tpu.mg.poisson import PoissonBVP
+from ndsm_tpu.utils.testing import power_law_fit
+
+
+def _poly_neumann_2d(nx, ny, Lx, Ly, a1=0.75, b1=-0.35):
+    """Pure-Neumann polynomial case of unit_test_2D_solve.f90:
+    rhs = a1 (2x - Lx) + b1 (2y - Ly);
+    u   = a1 (x^3/3 - Lx x^2/2) + b1 (y^3/3 - Ly y^2/2) + const."""
+    x = np.linspace(0, Lx, nx)
+    y = np.linspace(0, Ly, ny)
+    X, Y = np.meshgrid(x, y, indexing="xy")  # (ny, nx): axes (y, x)
+    rhs = a1 * (2 * X - Lx) + b1 * (2 * Y - Ly)
+    u = a1 * (X**3 / 3 - Lx * X**2 / 2) + b1 * (Y**3 / 3 - Ly * Y**2 / 2)
+    return (y, x), rhs, u - u.mean()
+
+
+@pytest.mark.parametrize("precision", ["fp64", "mixed"])
+def test_2d_neumann_scaling(precision):
+    """Truncation error must scale ~h^2 (reference expects index ~2,
+    unit_test_2D_solve.py:66-75)."""
+    scales = [1, 2, 4]
+    base = (27, 36)
+    errs, dxs = [], []
+    for s in scales:
+        nx, ny = base[0] * s, base[1] * s
+        meshes, rhs, u_exact = _poly_neumann_2d(nx, ny, 1.0, 1.3)
+        u, info = solve_poisson_bvp(
+            np.zeros_like(rhs),
+            rhs,
+            meshes,
+            (("N", "N"), ("N", "N")),
+            options=Options(precision=precision),
+        )
+        assert info.ierr == 0
+        u = np.array(u)
+        u -= u.mean()
+        errs.append(np.abs(u - u_exact).max())
+        dxs.append(1.0 / (nx - 1))
+    gamma, _, _ = power_law_fit(np.array(dxs), np.array(errs))
+    assert 1.7 < gamma < 2.3, (gamma, errs)
+
+
+def test_3d_dirichlet_manufactured():
+    n = 33
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    U = np.sin(np.pi * X) * np.sin(np.pi * Y) * np.sin(np.pi * Z)
+    rhs = -3 * np.pi**2 * U
+    u, info = solve_poisson_bvp(
+        np.zeros_like(U), rhs, (x, x, x), (("D", "D"),) * 3,
+        options=Options(precision="fp64"),
+    )
+    assert info.ierr == 0
+    assert np.abs(np.asarray(u) - U).max() < 2e-3
+
+
+def test_inhomogeneous_dirichlet_data_held():
+    """Dirichlet faces take their values from u0 and are held fixed."""
+    n = 17
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    U = X * Y + 2.0 * X - Y  # harmonic: laplace(U) = 0
+    u0 = np.zeros_like(U)
+    for idx in (np.s_[0, :], np.s_[-1, :], np.s_[:, 0], np.s_[:, -1]):
+        u0[idx] = U[idx]
+    u, info = solve_poisson_bvp(
+        u0, np.zeros_like(U), (x, x), (("D", "D"), ("D", "D")),
+        options=Options(precision="fp64"),
+    )
+    assert info.ierr == 0
+    u = np.array(u)
+    np.testing.assert_array_equal(u[0, :], U[0, :])
+    np.testing.assert_array_equal(u[:, -1], U[:, -1])
+    assert np.abs(u - U).max() < 1e-7  # harmonic bilinear is ~exactly captured
+
+
+def test_mixed_matches_fp64():
+    meshes, rhs, _ = _poly_neumann_2d(54, 72, 1.0, 1.3)
+    sols = {}
+    for prec in ("fp64", "mixed"):
+        u, info = solve_poisson_bvp(
+            np.zeros_like(rhs), rhs, meshes, (("N", "N"), ("N", "N")),
+            options=Options(precision=prec),
+        )
+        assert info.ierr == 0
+        sols[prec] = np.asarray(u)
+    diff = np.abs(sols["fp64"] - sols["mixed"]).max()
+    assert diff < 5e-9, diff  # both converged to vc_tol=1e-10 of same limit
+
+
+def test_mean_metric_converges():
+    meshes, rhs, u_exact = _poly_neumann_2d(27, 36, 1.0, 1.3)
+    u, info = solve_poisson_bvp(
+        np.zeros_like(rhs), rhs, meshes, (("N", "N"), ("N", "N")),
+        options=Options(precision="fp64", mean=True),
+    )
+    assert info.ierr == 0
+    u = np.array(u)
+    u -= u.mean()
+    assert np.abs(u - u_exact).max() < 5e-3
+
+
+def test_covfail_flag():
+    """ncycles_max=1 on a hard problem must return IERR_COVFAIL=1
+    (reference: ndsm_poisson.f90:147-150)."""
+    meshes, rhs, _ = _poly_neumann_2d(27, 36, 1.0, 1.3)
+    u, info = solve_poisson_bvp(
+        np.zeros_like(rhs), rhs, meshes, (("N", "N"), ("N", "N")),
+        options=Options(precision="fp64", ncycles_max=1, vc_tol=1e-14),
+    )
+    assert info.ierr == 1
+    assert info.cycles == 1
+    assert info.du_last > 1e-14
+
+
+def test_one_grid_two_grid():
+    """Reduced-cycle drivers (reference one_grid/two_grid,
+    ndsm_multigrid_core.f90:385-441) solve a small problem directly."""
+    n = 17
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    U = np.sin(np.pi * X) * np.sin(np.pi * Y)
+    rhs = -2 * np.pi**2 * U
+    h = GridHierarchy.from_mesh((x, x))
+    bvp = PoissonBVP(h, (("D", "D"), ("D", "D")), Options(precision="fp64"))
+    u1 = np.asarray(bvp.one_grid(np.zeros_like(U), rhs, ex_tol=1e-12))
+    assert np.abs(u1 - U).max() < 5e-2
+    u2 = np.asarray(bvp.two_grid(np.zeros_like(U), rhs, ex_tol=1e-12))
+    assert np.abs(u2 - U).max() < 5e-2
+
+
+def test_4d_solve():
+    """N-dimensional capability beyond the reference's exercised paths:
+    4D all-Neumann solve with manufactured cosine solution."""
+    n = 12
+    x = np.linspace(0, 1, n)
+    grids = np.meshgrid(*([x] * 4), indexing="ij")
+    U = np.ones_like(grids[0])
+    for g in grids:
+        U = U * np.cos(np.pi * g)
+    rhs = -4 * np.pi**2 * U
+    u, info = solve_poisson_bvp(
+        np.zeros_like(U), rhs, (x,) * 4, (("N", "N"),) * 4,
+        options=Options(precision="fp64"),
+    )
+    assert info.ierr == 0
+    u = np.array(u)
+    u -= u.mean()
+    assert np.abs(u - (U - U.mean())).max() < 0.1

@@ -1,0 +1,138 @@
+"""Vector-potential application tests: the analytic potential-field
+integration case (truncation-error scaling + golden-table regression) and
+pipeline-piece checks (fluxes, curl, At boundary data)."""
+
+import numpy as np
+import pytest
+
+from ndsm_tpu import vector_potential, Options
+from ndsm_tpu.ops.deriv import curl, deriv_axis
+from ndsm_tpu.ops.reduce import trapz_2d
+from ndsm_tpu.utils.testing import power_law_fit, potential_field_case, build_test_mesh
+
+# First row of the golden table (tests/integration_test/results_test1.txt:6):
+# 22^3, dx=4.76190e-02
+GOLDEN_22 = dict(
+    Ea_max=1.86048e-03, Ea_avg=2.67773e-04, Eb_max=7.65805e-02, Eb_avg=6.53421e-03
+)
+
+
+def _solve_case(n, **kw):
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    A1, b1 = potential_field_case(X, Y, Z)
+    ierr, A2, b2 = vector_potential(x, y, z, b1.copy(), **kw)
+    Ea = np.linalg.norm(A1 - A2, axis=0)
+    Eb = np.linalg.norm(b1 - b2, axis=0)
+    return ierr, Ea, Eb
+
+
+@pytest.mark.parametrize("precision", ["fp64", "mixed"])
+def test_golden_22cubed(precision):
+    """22^3 solve must reproduce the reference's checked-in errors to ~5
+    significant figures (results_test1.txt row 1)."""
+    ierr, Ea, Eb = _solve_case(22, precision=precision)
+    assert ierr == 0
+    np.testing.assert_allclose(Ea.max(), GOLDEN_22["Ea_max"], rtol=1e-4)
+    np.testing.assert_allclose(Ea.mean(), GOLDEN_22["Ea_avg"], rtol=1e-4)
+    np.testing.assert_allclose(Eb.max(), GOLDEN_22["Eb_max"], rtol=1e-4)
+    np.testing.assert_allclose(Eb.mean(), GOLDEN_22["Eb_avg"], rtol=1e-4)
+
+
+def test_mean_metric_matches_golden():
+    """mean=True golden row (results_test2.txt:6) — identical errors."""
+    ierr, Ea, Eb = _solve_case(22, mean=True, precision="fp64")
+    assert ierr == 0
+    np.testing.assert_allclose(Ea.max(), GOLDEN_22["Ea_max"], rtol=1e-4)
+    np.testing.assert_allclose(Eb.max(), GOLDEN_22["Eb_max"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_truncation_error_scaling():
+    """Power-law index of the truncation error ~ 2 (second-order scheme;
+    reference integration_test1.py:157-159 and BASELINE.md)."""
+    sizes = [22, 33, 44]
+    dx, ea, eb = [], [], []
+    for n in sizes:
+        ierr, Ea, Eb = _solve_case(n, precision="mixed")
+        assert ierr == 0
+        dx.append(1.0 / (n - 1))
+        ea.append(Ea.max())
+        eb.append(Eb.max())
+    ga, _, _ = power_law_fit(np.array(dx), np.array(ea))
+    gb, _, _ = power_law_fit(np.array(dx), np.array(eb))
+    assert 1.7 < ga < 2.3, (ga, ea)
+    assert 1.7 < gb < 2.3, (gb, eb)
+
+
+def test_divergence_free():
+    """div(B) of the computed field should be at truncation level."""
+    n = 22
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    _, b1 = potential_field_case(X, Y, Z)
+    ierr, A2, b2 = vector_potential(x, y, z, b1.copy(), precision="fp64")
+    assert ierr == 0
+    dq = np.array([x[1] - x[0]] * 3)
+    div = (
+        np.asarray(deriv_axis(b2[0], dq[0], -1))
+        + np.asarray(deriv_axis(b2[1], dq[1], -2))
+        + np.asarray(deriv_axis(b2[2], dq[2], -3))
+    )
+    # interior only (one-sided boundary stencils of curl derivatives are
+    # not exactly divergence-compatible)
+    assert np.abs(div[1:-1, 1:-1, 1:-1]).max() < 0.2
+
+
+def test_curl_of_analytic_potential():
+    """curl() reproduces B from the analytic A at truncation level."""
+    n = 40
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    A, b = potential_field_case(X, Y, Z)
+    dq = np.array([x[1] - x[0]] * 3)
+    B = np.asarray(curl(A, dq))
+    assert np.abs(B - b).max() < 0.05
+
+
+def test_trapz_2d():
+    nx, ny = 31, 41
+    x = np.linspace(0, 2, nx)
+    y = np.linspace(0, 1, ny)
+    X, Y = np.meshgrid(x, y, indexing="xy")
+    f = X**2 * Y + 3.0
+    got = float(trapz_2d(f, y[1] - y[0], x[1] - x[0]))
+    want = 2**3 / 3 * 1**2 / 2 + 3.0 * 2 * 1
+    assert abs(got - want) < 2e-3
+
+
+def test_per_face_superposition():
+    """The per-face path (quirk Q1, made functional here) must equal the
+    combined solve by linear superposition, to solver tolerance."""
+    n = 12
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    _, b1 = potential_field_case(X, Y, Z)
+    o1 = Options(precision="fp64", vc_tol=1e-11)
+    o2 = Options(precision="fp64", vc_tol=1e-11, per_face=True)
+    _, A_all, B_all = vector_potential(x, y, z, b1.copy(), options=o1)
+    _, A_pf, B_pf = vector_potential(x, y, z, b1.copy(), options=o2)
+    assert np.abs(A_all - A_pf).max() < 1e-6
+    assert np.abs(B_all - B_pf).max() < 1e-4
+
+
+def test_flux_correction_orders_agree():
+    """Both flux-correction orders (IOPT_FLXCRL) give the same B up to the
+    curl of the analytic correction being nearly exact."""
+    n = 16
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    _, b1 = potential_field_case(X, Y, Z)
+    _, A0, B0 = vector_potential(
+        x, y, z, b1.copy(), options=Options(precision="fp64")
+    )
+    _, A1, B1 = vector_potential(
+        x, y, z, b1.copy(), options=Options(precision="fp64", flux_correction_order=1)
+    )
+    np.testing.assert_allclose(A0, A1, atol=1e-9)
+    assert np.abs(B0 - B1).max() < 2e-2
