@@ -147,12 +147,14 @@ def _sweep_kernel(
     gy = sy + lax.broadcasted_iota(jnp.int32, bshape, 1)
     gx = lax.broadcasted_iota(jnp.int32, bshape, 2)
 
-    interior = jnp.ones(bshape, dtype=bool)
+    interior = None  # avoid a full bool-constant array (axon compiler chokes)
     for ax, g, n in ((0, gz, nz), (1, gy, ny), (2, gx, nx)):
         if bcs[ax][0] == "D":
-            interior = interior & (g > jnp.int32(0))
+            m = g > jnp.int32(0)
+            interior = m if interior is None else interior & m
         if bcs[ax][1] == "D":
-            interior = interior & (g < jnp.int32(n - 1))
+            m = g < jnp.int32(n - 1)
+            interior = m if interior is None else interior & m
     parity = lax.rem(gz + gy + gx, jnp.int32(2))
 
     z0 = i * jnp.int32(tz)
@@ -190,8 +192,11 @@ def _sweep_kernel(
         unew = (s - R) * jnp.float32(w0)
         return jnp.where(mask, unew, u)
 
-    red_mask = (parity == jnp.int32(red)) & interior & in_red_z & in_red_y
-    blk_mask = (parity == jnp.int32(1 - red)) & interior & in_blk_z & in_blk_y
+    red_mask = (parity == jnp.int32(red)) & in_red_z & in_red_y
+    blk_mask = (parity == jnp.int32(1 - red)) & in_blk_z & in_blk_y
+    if interior is not None:
+        red_mask = red_mask & interior
+        blk_mask = blk_mask & interior
     Unew = half(U, red_mask)
     Unew = half(Unew, blk_mask)
 

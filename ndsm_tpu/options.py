@@ -64,6 +64,7 @@ class Options:
     ms: int = 5
     ncycles_max: int = 1024
     niterex_max: int = 10000
+    use_pallas: str = "auto"  #: "auto" | "on" | "off" — fused TPU smoother
     ex_tol: float = 1e-13
     vc_tol: float = 1e-10
     mean: bool = False
