@@ -58,11 +58,21 @@ def main():
     print(f"warmup (incl. compile): {warm:.2f}s ierr={ierr}", file=sys.stderr)
 
     times = []
+    info = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        ierr, A2, b2 = vector_potential(x, y, z, b1.copy(), precision=precision)
+        ierr, A2, b2, info = vector_potential(
+            x, y, z, b1.copy(), precision=precision, full_output=True
+        )
         times.append(time.perf_counter() - t0)
     wall = min(times)
+    if info is not None:
+        for s in info.chi + info.components:
+            print(
+                f"  {s.name}: {s.wall_time:.3f}s cycles={s.cycles} "
+                f"du={s.du_last:.2e}",
+                file=sys.stderr,
+            )
 
     Ea = np.linalg.norm(A1 - A2, axis=0)
     Eb = np.linalg.norm(b1 - b2, axis=0)

@@ -37,6 +37,11 @@ from ..grids import GridHierarchy
 from ..ops import stencils
 from ..ops.reduce import du_metrics
 from ..ops.transfer import interp_matrix_1d, restrict_matrix_1d, apply_axis_matrices
+from .coarse import build_coarse_solver_matrix
+
+# Direct coarse solves are precomputed dense (pseudo)inverses; cap the
+# coarsest-level size for which that is sensible.
+_COARSE_DIRECT_MAX = 4096
 
 __all__ = ["MGEngine"]
 
@@ -58,6 +63,7 @@ class MGEngine:
         du_max: bool,
         dtype,
         shard_spec=None,
+        coarse_direct: bool = False,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
@@ -65,6 +71,16 @@ class MGEngine:
         self.du_max = bool(du_max)
         self.dtype = jnp.dtype(dtype)
         self.shard_spec = shard_spec
+        coarse_shape = hierarchy.shapes[-1]
+        self.coarse_direct = bool(coarse_direct) and int(
+            np.prod(coarse_shape)
+        ) <= _COARSE_DIRECT_MAX
+        if self.coarse_direct:
+            S, int_mask = build_coarse_solver_matrix(
+                coarse_shape, hierarchy.dq[-1], self.bcs
+            )
+            self._coarse_S = S
+            self._coarse_rows = np.flatnonzero(int_mask)
 
         # Per-level spacings (static python floats -> device constants).
         self._dq = [np.asarray(d, dtype=np.float64) for d in hierarchy.dq]
@@ -161,6 +177,17 @@ class MGEngine:
     # Cycles
     # ------------------------------------------------------------------
 
+    def t_coarse_solve_direct(self, rhs):
+        """One-matvec coarse solve via the precomputed (pseudo)inverse
+        (see mg/coarse.py); replaces the relax-until-ex_tol loop when
+        ``coarse_direct`` is enabled."""
+        rows = jnp.asarray(self._coarse_rows)
+        S = jnp.asarray(self._coarse_S, dtype=self.dtype)
+        rhs_int = jnp.take(rhs.ravel(), rows)
+        e_int = jnp.matmul(S, rhs_int, precision=jax.lax.Precision.HIGHEST)
+        e = jnp.zeros(rhs.size, dtype=self.dtype).at[rows].set(e_int)
+        return e.reshape(rhs.shape)
+
     def t_vcycle(self, u, rhs, ex_tol, nmax_exact):
         """One V-cycle on the finest level (reference: v_cycle,
         ndsm_multigrid_core.f90:341-377)."""
@@ -178,7 +205,10 @@ class MGEngine:
             us[l + 1] = jnp.zeros(self.h.shapes[l + 1], dtype=self.dtype)
 
         # Coarsest-grid solve (:370)
-        us[L - 1] = self.t_solve_exact(us[L - 1], rhss[L - 1], L - 1, ex_tol, nmax_exact)
+        if self.coarse_direct and L > 1:
+            us[L - 1] = self.t_coarse_solve_direct(rhss[L - 1])
+        else:
+            us[L - 1] = self.t_solve_exact(us[L - 1], rhss[L - 1], L - 1, ex_tol, nmax_exact)
 
         # Ascend (coarse_to_fine, :593-684)
         for l in range(L - 2, -1, -1):

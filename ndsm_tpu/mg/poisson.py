@@ -42,12 +42,18 @@ __all__ = ["PoissonBVP", "solve_poisson_bvp"]
 _ENGINE_CACHE: Dict = {}
 
 
-def _cached_engine(hierarchy, bcs, ms, du_max, dtype, shard_spec=None):
-    key = (hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec)
+def _cached_engine(hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False):
+    key = (hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec, coarse_direct)
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         eng = MGEngine(
-            hierarchy, bcs, ms=ms, du_max=du_max, dtype=dtype, shard_spec=shard_spec
+            hierarchy,
+            bcs,
+            ms=ms,
+            du_max=du_max,
+            dtype=dtype,
+            shard_spec=shard_spec,
+            coarse_direct=coarse_direct,
         )
         _ENGINE_CACHE[key] = eng
     return eng
@@ -82,8 +88,16 @@ class PoissonBVP:
         self.outer_dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
         self.inner_dtype = jnp.float64 if self.mode == "fp64" else jnp.float32
         du_max = options.du_max
+        cs = getattr(options, "coarse_solver", "auto")
+        coarse_direct = cs == "direct" or (cs == "auto" and self.mode != "fp64")
         self._inner = _cached_engine(
-            hierarchy, self.bcs, options.ms, du_max, self.inner_dtype, shard_spec
+            hierarchy,
+            self.bcs,
+            options.ms,
+            du_max,
+            self.inner_dtype,
+            shard_spec,
+            coarse_direct,
         )
         self._outer = (
             self._inner
@@ -194,6 +208,9 @@ class PoissonBVP:
                 f"u0/rhs shape {u0.shape}/{rhs.shape} != fine grid "
                 f"{self.h.fine_shape}"
             )
+        import time as _time
+
+        t0 = _time.perf_counter()
         u, du, it, ierr = self._solve_jit(
             u0,
             rhs,
@@ -202,8 +219,13 @@ class PoissonBVP:
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
+        ierr = int(ierr)  # device sync
         info = SolveInfo(
-            ierr=int(ierr), du_last=float(du), cycles=int(it), name=name
+            ierr=ierr,
+            du_last=float(du),
+            cycles=int(it),
+            name=name,
+            wall_time=_time.perf_counter() - t0,
         )
         return u, info
 

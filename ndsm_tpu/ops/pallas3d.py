@@ -43,9 +43,10 @@ __all__ = ["fused_rb_sweep_3d", "supported", "pick_tile"]
 _HALO = 2  # red needs +1 around the tile; red's own neighbors need +2
 
 
-def pick_tile(n: int, max_tile: int = 32) -> Optional[int]:
-    """Largest divisor of n that is <= max_tile and satisfies n >= t + 4."""
-    for t in range(min(max_tile, n - 4), 0, -1):
+def pick_tile(n: int, max_tile: int = 32, min_tile: int = 4) -> Optional[int]:
+    """Largest divisor of n in [min_tile, max_tile] with n >= t + 4 (None
+    if none exists — tiny/prime extents fall back to the XLA path)."""
+    for t in range(min(max_tile, n - 4), min_tile - 1, -1):
         if n % t == 0:
             return t
     return None

@@ -65,6 +65,11 @@ class Options:
     ncycles_max: int = 1024
     niterex_max: int = 10000
     use_pallas: str = "auto"  #: "auto" | "on" | "off" — fused TPU smoother
+    #: Coarsest-grid solver: "relax" iterates to ex_tol exactly like the
+    #: reference (ndsm_multigrid_core.f90:728); "direct" applies a
+    #: precomputed dense (pseudo)inverse in one matvec (same limit, no
+    #: while_loop latency); "auto" = direct for mixed/fp32, relax for fp64.
+    coarse_solver: str = "auto"
     ex_tol: float = 1e-13
     vc_tol: float = 1e-10
     mean: bool = False
@@ -102,6 +107,7 @@ class SolveInfo:
     du_last: float = 0.0
     cycles: int = 0
     name: str = ""
+    wall_time: float = 0.0
 
 
 @dataclasses.dataclass
