@@ -53,9 +53,16 @@ def main():
 
     # Warmup (includes compilation)
     t0 = time.perf_counter()
-    ierr, A2, b2 = vector_potential(x, y, z, b1.copy(), precision=precision)
+    ierr, A2, b2, winfo = vector_potential(
+        x, y, z, b1.copy(), precision=precision, full_output=True
+    )
     warm = time.perf_counter() - t0
     print(f"warmup (incl. compile): {warm:.2f}s ierr={ierr}", file=sys.stderr)
+    for s_ in winfo.chi + winfo.components:
+        print(
+            f"  [warm] {s_.name}: {s_.wall_time:.3f}s cycles={s_.cycles}",
+            file=sys.stderr,
+        )
 
     times = []
     info = None

@@ -25,7 +25,7 @@ Precision modes
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +108,7 @@ class PoissonBVP:
         )
         self._all_neumann = stencils.is_all_neumann(self.bcs)
         self._solve_jit = jax.jit(self._solve_impl)
+        self._solve_batch_jit = None
         self._vcycle_jit = jax.jit(self._inner.t_vcycle)
         self._two_grid_jit = jax.jit(self._inner.t_two_grid)
         self._one_grid_jit = jax.jit(self._inner.t_one_grid)
@@ -172,6 +173,119 @@ class PoissonBVP:
         )
         ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         return u, du, it, ierr
+
+    def _solve_batch_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+        """Lane-masked batched variant of ``_solve_impl``: solves B
+        independent problems of identical configuration (u0, rhs shaped
+        (B, *grid)) in ONE program.  A converged lane is frozen, so each
+        lane's iterate/metric sequence is identical to a standalone solve;
+        the loop runs until every lane converges or hits nmax.  Requires a
+        while_loop-free coarse solve (coarse_direct) so the cycle can be
+        vmapped without cross-lane iteration coupling."""
+        cycle = (
+            self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
+        )
+        cycleB = jax.vmap(lambda u, r: cycle(u, r, ex_tol, nmax_exact))
+        metricB = jax.vmap(self._outer.t_metric)
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
+        vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
+        B = u0.shape[0]
+
+        def active_of(du, it):
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def cond(c):
+            _, du, it = c
+            return jnp.any(active_of(du, it))
+
+        def body(c):
+            u, du, it = c
+            active = active_of(du, it)
+            u_new = cycleB(u, rhs)
+            du_new = metricB(u_new, u)
+            sel = active.reshape((B,) + (1,) * (u.ndim - 1))
+            u = jnp.where(sel, u_new, u)
+            du = jnp.where(active, du_new, du)
+            it = it + active.astype(jnp.int32)
+            return (u, du, it)
+
+        init = (u0, jnp.full((B,), big), jnp.zeros((B,), jnp.int32))
+        u, du, it = lax.while_loop(cond, body, init)
+        converged = du < vc_tol
+        _warn_if(
+            jnp.logical_not(jnp.all(converged)),
+            "Warning: IOPT_NCYCLES exceeded. "
+            "V-cycle iteration may not have converged",
+        )
+        ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
+        return u, du, it, ierr
+
+    def solve_batch(
+        self,
+        u0s,
+        rhss,
+        *,
+        vc_tol: Optional[float] = None,
+        ex_tol: Optional[float] = None,
+        ncycles_max: Optional[int] = None,
+        niterex_max: Optional[int] = None,
+        names: Optional[Sequence[str]] = None,
+    ):
+        """Solve B same-configuration problems in one compiled program.
+        Falls back to sequential ``solve`` when the coarse solver is the
+        reference relax loop (its while_loop cannot be lane-masked)."""
+        o = self.options
+        vc_tol = o.vc_tol if vc_tol is None else vc_tol
+        ex_tol = o.ex_tol if ex_tol is None else ex_tol
+        nmax = o.ncycles_max if ncycles_max is None else ncycles_max
+        nmax_exact = o.niterex_max if niterex_max is None else niterex_max
+        names = names or [""] * len(u0s)
+
+        if not self._inner.coarse_direct:
+            out = [
+                self.solve(
+                    u0,
+                    rhs,
+                    vc_tol=vc_tol,
+                    ex_tol=ex_tol,
+                    ncycles_max=nmax,
+                    niterex_max=nmax_exact,
+                    name=nm,
+                )
+                for u0, rhs, nm in zip(u0s, rhss, names)
+            ]
+            return [u for u, _ in out], [i for _, i in out]
+
+        import time as _time
+
+        u0 = jnp.stack([jnp.asarray(u, self.outer_dtype) for u in u0s])
+        rhs = jnp.stack([jnp.asarray(r, self.outer_dtype) for r in rhss])
+        if self._solve_batch_jit is None:
+            self._solve_batch_jit = jax.jit(self._solve_batch_impl)
+        t0 = _time.perf_counter()
+        u, du, it, ierr = self._solve_batch_jit(
+            u0,
+            rhs,
+            jnp.float64(vc_tol),
+            jnp.float64(ex_tol),
+            jnp.int32(nmax),
+            jnp.int32(nmax_exact),
+        )
+        ierr = np.asarray(ierr)
+        wall = _time.perf_counter() - t0
+        du = np.asarray(du)
+        it = np.asarray(it)
+        infos = [
+            SolveInfo(
+                ierr=int(ierr[k]),
+                du_last=float(du[k]),
+                cycles=int(it[k]),
+                name=names[k],
+                wall_time=wall / len(u0s),
+            )
+            for k in range(len(u0s))
+        ]
+        return list(u), infos
 
     # ------------------------------------------------------------------
 

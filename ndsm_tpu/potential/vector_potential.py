@@ -128,26 +128,33 @@ def compute_vector_potential(
     # Six all-Neumann 2D solves: laplace(chi) = Bn - Phi/Area
     # (reference: ndsm_vector_potential.f90:338-365)
     # ------------------------------------------------------------------
-    chi = []
-    chi_info = []
+    # Group faces by identical 2D hierarchy (opposite faces always pair;
+    # all six coincide for a cubic mesh) and solve each group as ONE
+    # lane-masked batched program — semantics per face are unchanged, but
+    # dispatch/latency cost drops from 6 solves to <= 3 (1 when cubic).
+    chi = [None] * 6
+    chi_info = [None] * 6
+    groups = {}
     for f in range(6):
         d1, d2 = F.FACE_DIMS[f]
-        mesh2d = (mesh_xyz[d2], mesh_xyz[d1])  # C axis order
-        hierarchy = GridHierarchy.from_mesh(mesh2d)
+        hierarchy = GridHierarchy.from_mesh((mesh_xyz[d2], mesh_xyz[d1]))
+        groups.setdefault(hierarchy, []).append(f)
+    for hierarchy, faces_in_group in groups.items():
         bvp = get_poisson_bvp(hierarchy, (("N", "N"), ("N", "N")), options)
-        rhs = bn[f] - phi[f] / areas[f]
-        u0 = jnp.zeros_like(rhs)
-        u, info = bvp.solve(
-            u0,
-            rhs,
+        rhss = [bn[f] - phi[f] / areas[f] for f in faces_in_group]
+        u0s = [jnp.zeros_like(r) for r in rhss]
+        us, infos = bvp.solve_batch(
+            u0s,
+            rhss,
             vc_tol=options.vc_tol,
             ex_tol=options.ex_tol,
             ncycles_max=options.ncycles_max,
             niterex_max=options.niterex_max,
-            name=f"chi_face{f}",
+            names=[f"chi_face{f}" for f in faces_in_group],
         )
-        chi.append(u)
-        chi_info.append(info)
+        for k, f in enumerate(faces_in_group):
+            chi[f] = us[k]
+            chi_info[f] = infos[k]
 
     # ------------------------------------------------------------------
     # At = -grad(chi) x n, edge derivatives zeroed
