@@ -18,6 +18,7 @@ Env overrides: NDSM_BENCH_N (default 220), NDSM_BENCH_PRECISION
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -42,10 +43,38 @@ GOLDEN = {
 }
 
 
+def _arm_watchdog(seconds: float, metric: str):
+    """Emit a failure JSON and hard-exit if the benchmark wedges (e.g. a
+    hung remote compile service) so the driver always gets one line."""
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": metric,
+                    "value": -1.0,
+                    "unit": "s",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        print("bench watchdog fired: run exceeded budget", file=sys.stderr)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     n = int(os.environ.get("NDSM_BENCH_N", "220"))
     precision = os.environ.get("NDSM_BENCH_PRECISION", "mixed")
     reps = int(os.environ.get("NDSM_BENCH_REPS", "1"))
+
+    budget = float(os.environ.get("NDSM_BENCH_TIMEOUT", "2700"))
+    watchdog = _arm_watchdog(budget, f"vector_potential_{n}^3_wall_clock")
 
     x, y, z = build_test_mesh(n)
     Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
@@ -97,6 +126,7 @@ def main():
         )
     vs = (ref_time / wall) if (ok and ref_time) else 0.0
 
+    watchdog.cancel()
     print(
         json.dumps(
             {
