@@ -343,6 +343,78 @@ class PoissonBVP:
         )
         return u, info
 
+    def solve_checkpointed(
+        self,
+        u0,
+        rhs,
+        *,
+        checkpoint_path: str,
+        checkpoint_every: int = 32,
+        vc_tol: Optional[float] = None,
+        ex_tol: Optional[float] = None,
+        ncycles_max: Optional[int] = None,
+        niterex_max: Optional[int] = None,
+        name: str = "",
+    ) -> Tuple[jax.Array, SolveInfo]:
+        """Resumable solve: V-cycles run in chunks of ``checkpoint_every``
+        with the current iterate written atomically to ``checkpoint_path``
+        (.npz) between chunks; an interrupted solve restarts from the last
+        checkpoint.  The cycle-by-cycle iterate sequence is identical to
+        ``solve`` (the reference has no checkpointing — solves are
+        minutes-scale; for large multi-chip problems this closes that gap,
+        SURVEY.md §5)."""
+        import os
+
+        o = self.options
+        vc_tol = o.vc_tol if vc_tol is None else vc_tol
+        ex_tol = o.ex_tol if ex_tol is None else ex_tol
+        nmax = o.ncycles_max if ncycles_max is None else ncycles_max
+        nmax_exact = o.niterex_max if niterex_max is None else niterex_max
+
+        u = jnp.asarray(u0, dtype=self.outer_dtype)
+        cycles_done = 0
+        du = float("inf")
+        if os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if tuple(ck["shape"]) == tuple(self.h.fine_shape):
+                u = jnp.asarray(ck["u"], dtype=self.outer_dtype)
+                cycles_done = int(ck["cycles"])
+                du = float(ck["du"])
+
+        ierr = IERR_COVFAIL
+        while cycles_done < nmax:
+            if du < vc_tol:
+                ierr = IERR_SUCCESS
+                break
+            chunk = min(checkpoint_every, nmax - cycles_done)
+            u, du_j, it_j, _ = self._solve_jit(
+                u,
+                jnp.asarray(rhs, dtype=self.outer_dtype),
+                jnp.float64(vc_tol),
+                jnp.float64(ex_tol),
+                jnp.int32(chunk),
+                jnp.int32(nmax_exact),
+            )
+            du = float(du_j)
+            cycles_done += int(it_j)
+            tmp = checkpoint_path + ".tmp"
+            np.savez(
+                tmp if not tmp.endswith(".npz") else tmp,
+                u=np.asarray(u),
+                cycles=cycles_done,
+                du=du,
+                shape=np.asarray(self.h.fine_shape),
+            )
+            saved = tmp if os.path.exists(tmp) else tmp + ".npz"
+            os.replace(saved, checkpoint_path)
+        else:
+            ierr = IERR_SUCCESS if du < vc_tol else IERR_COVFAIL
+        if du < vc_tol:
+            ierr = IERR_SUCCESS
+        return u, SolveInfo(
+            ierr=ierr, du_last=du, cycles=cycles_done, name=name
+        )
+
     # Reduced-cycle drivers, handy for operator-isolation tests
     # (reference: one_grid/two_grid, ndsm_multigrid_core.f90:385-441).
 

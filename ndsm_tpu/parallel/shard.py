@@ -30,7 +30,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ShardSpec", "make_mesh"]
+__all__ = ["ShardSpec", "make_mesh", "make_mesh_nd"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "z") -> Mesh:
@@ -39,6 +39,14 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "z") -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def make_mesh_nd(shape: Sequence[int], axis_names: Sequence[str] = ("z", "y")) -> Mesh:
+    """N-D device mesh, e.g. make_mesh_nd((4, 2)) for a 4x2 (z, y)
+    decomposition over 8 devices."""
+    n = int(np.prod(shape))
+    devs = np.array(jax.devices()[:n]).reshape(shape)
+    return Mesh(devs, tuple(axis_names))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,18 +67,26 @@ class ShardSpec:
     axis: int = 0
     axis_name: str = "z"
     min_rows_per_shard: int = 8
+    #: Additional (array_axis, mesh_axis_name) pairs for multi-axis
+    #: decomposition, e.g. extra_axes=((1, "y"),) with a 2-D mesh.
+    extra_axes: Tuple[Tuple[int, str], ...] = ()
 
     @property
     def n_devices(self) -> int:
         return self.mesh.shape[self.axis_name]
+
+    def partitioned_axes(self) -> Tuple[Tuple[int, str], ...]:
+        return ((self.axis, self.axis_name),) + tuple(self.extra_axes)
 
     def is_sharded_level(self, shape: Sequence[int]) -> bool:
         return shape[self.axis] >= self.n_devices * self.min_rows_per_shard
 
     def sharding_for(self, shape: Sequence[int]) -> NamedSharding:
         parts: list = [None] * len(shape)
-        if self.is_sharded_level(shape):
-            parts[self.axis] = self.axis_name
+        for ax, name in self.partitioned_axes():
+            ndev = self.mesh.shape[name]
+            if shape[ax] >= ndev * self.min_rows_per_shard:
+                parts[ax] = name
         return NamedSharding(self.mesh, P(*parts))
 
     def constrain(self, x: jax.Array) -> jax.Array:
@@ -87,6 +103,7 @@ class ShardSpec:
                 self.axis,
                 self.axis_name,
                 self.min_rows_per_shard,
+                self.extra_axes,
             )
         )
 
@@ -99,4 +116,5 @@ class ShardSpec:
             and self.axis == other.axis
             and self.axis_name == other.axis_name
             and self.min_rows_per_shard == other.min_rows_per_shard
+            and self.extra_axes == other.extra_axes
         )

@@ -100,3 +100,28 @@ def test_gspmd_solve_matches_unsharded():
         np.asarray(u_sh), np.asarray(u_ref), rtol=0, atol=1e-11
     )
     assert info_sh.cycles == info_ref.cycles
+
+
+def test_gspmd_2d_mesh_solve():
+    """2-axis (z, y) spatial decomposition over a 4x2 mesh."""
+    from ndsm_tpu.parallel.shard import make_mesh_nd
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    U = np.sin(np.pi * X) * np.sin(np.pi * Y) * np.sin(np.pi * Z)
+    rhs = -3 * np.pi**2 * U
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"),) * 3
+    opts = Options(precision="fp64")
+    u_ref, _ = PoissonBVP(h, bcs, opts).solve(np.zeros_like(U), rhs)
+    mesh = make_mesh_nd((4, 2), ("z", "y"))
+    spec = ShardSpec(
+        mesh=mesh, axis=0, axis_name="z", min_rows_per_shard=2,
+        extra_axes=((1, "y"),),
+    )
+    u_sh, info = PoissonBVP(h, bcs, opts, shard_spec=spec).solve(
+        np.zeros_like(U), rhs
+    )
+    assert info.ierr == 0
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-11)

@@ -155,3 +155,25 @@ def test_4d_solve():
     u = np.array(u)
     u -= u.mean()
     assert np.abs(u - (U - U.mean())).max() < 0.1
+
+
+def test_checkpointed_solve(tmp_path):
+    """solve_checkpointed produces the same result as solve and resumes
+    from its checkpoint file."""
+    meshes, rhs, _ = _poly_neumann_2d(27, 36, 1.0, 1.3)
+    from ndsm_tpu.mg.poisson import get_poisson_bvp
+    h = GridHierarchy.from_mesh(meshes)
+    bvp = get_poisson_bvp(h, (("N", "N"), ("N", "N")), Options(precision="fp64"))
+    u_ref, info_ref = bvp.solve(np.zeros_like(rhs), rhs)
+    ck = str(tmp_path / "state.npz")
+    u_ck, info_ck = bvp.solve_checkpointed(
+        np.zeros_like(rhs), rhs, checkpoint_path=ck, checkpoint_every=4
+    )
+    assert info_ck.ierr == 0
+    np.testing.assert_allclose(np.asarray(u_ck), np.asarray(u_ref), atol=5e-11)
+    # resume: running again starts converged and does no more cycles
+    u_again, info2 = bvp.solve_checkpointed(
+        np.zeros_like(rhs), rhs, checkpoint_path=ck, checkpoint_every=4
+    )
+    assert info2.cycles == info_ck.cycles
+    np.testing.assert_allclose(np.asarray(u_again), np.asarray(u_ck), atol=0)
