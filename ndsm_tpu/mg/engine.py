@@ -117,9 +117,13 @@ class MGEngine:
 
     def t_smooth(self, u, rhs, level: int, nsweeps: int | None = None):
         n = self.ms if nsweeps is None else nsweeps
-        for _ in range(n):
-            u = self.t_sweep(u, rhs, level)
-        return u
+        if n <= 1:
+            return self.t_sweep(u, rhs, level) if n == 1 else u
+        # fori_loop keeps the program one sweep long regardless of ms —
+        # identical results, much smaller HLO (faster XLA compiles).
+        return lax.fori_loop(
+            0, n, lambda _, v: self.t_sweep(v, rhs, level), u
+        )
 
     def t_residual(self, u, rhs, level: int):
         return self._constrain(

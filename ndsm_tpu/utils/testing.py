@@ -13,14 +13,21 @@ import numpy as np
 __all__ = ["power_law_fit", "potential_field_case", "build_test_mesh"]
 
 
-def power_law_fit(x: np.ndarray, y: np.ndarray):
-    """Fit y = A * x^gamma in log-log space; returns (gamma, A, evaluator)
+def power_law_fit(x: np.ndarray, y: np.ndarray, cov: bool = False):
+    """Fit y = A * x^gamma in log-log space; returns (gamma, A, evaluator),
+    or (gamma, A, C, evaluator) with the fit covariance when ``cov``
     (reference: utests.py:32-65)."""
     Lx = np.log10(np.asarray(x, dtype=np.float64))
     Ly = np.log10(np.asarray(y, dtype=np.float64))
-    p = np.polyfit(Lx, Ly, 1)
+    if cov:
+        p, C = np.polyfit(Lx, Ly, 1, cov=True)
+    else:
+        p = np.polyfit(Lx, Ly, 1)
     A = 10.0 ** p[1]
-    return p[0], A, (lambda q: A * q ** p[0])
+    ev = lambda q: A * q ** p[0]  # noqa: E731
+    if cov:
+        return p[0], A, C, ev
+    return p[0], A, ev
 
 
 def potential_field_case(X, Y, Z, wn: float = np.pi):
