@@ -42,8 +42,14 @@ __all__ = ["PoissonBVP", "solve_poisson_bvp"]
 _ENGINE_CACHE: Dict = {}
 
 
-def _cached_engine(hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False):
-    key = (hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec, coarse_direct)
+def _cached_engine(
+    hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False,
+    compact_smoother=True,
+):
+    key = (
+        hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec,
+        coarse_direct, compact_smoother,
+    )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
         eng = MGEngine(
@@ -54,6 +60,7 @@ def _cached_engine(hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_di
             dtype=dtype,
             shard_spec=shard_spec,
             coarse_direct=coarse_direct,
+            compact_smoother=compact_smoother,
         )
         _ENGINE_CACHE[key] = eng
     return eng
@@ -90,6 +97,7 @@ class PoissonBVP:
         du_max = options.du_max
         cs = getattr(options, "coarse_solver", "auto")
         coarse_direct = cs == "direct" or (cs == "auto" and self.mode != "fp64")
+        compact = getattr(options, "smoother", "auto") != "masked"
         self._inner = _cached_engine(
             hierarchy,
             self.bcs,
@@ -98,6 +106,7 @@ class PoissonBVP:
             self.inner_dtype,
             shard_spec,
             coarse_direct,
+            compact,
         )
         self._outer = (
             self._inner

@@ -70,6 +70,10 @@ class Options:
     #: precomputed dense (pseudo)inverse in one matvec (same limit, no
     #: while_loop latency); "auto" = direct for mixed/fp32, relax for fp64.
     coarse_solver: str = "auto"
+    #: Smoother formulation: "auto"/"compact" uses color-compact storage
+    #: (half the HBM traffic per sweep, rounding-identical results);
+    #: "masked" uses the dense masked-update formulation.
+    smoother: str = "auto"
     ex_tol: float = 1e-13
     vc_tol: float = 1e-10
     mean: bool = False
