@@ -177,3 +177,23 @@ def test_checkpointed_solve(tmp_path):
     )
     assert info2.cycles == info_ck.cycles
     np.testing.assert_allclose(np.asarray(u_again), np.asarray(u_ck), atol=0)
+
+
+def test_solve_batch_matches_individual():
+    """Lane-masked batched solves equal standalone solves per problem."""
+    from ndsm_tpu.mg.poisson import get_poisson_bvp
+
+    meshes, rhs1, _ = _poly_neumann_2d(27, 36, 1.0, 1.3)
+    _, rhs2, _ = _poly_neumann_2d(27, 36, 1.0, 1.3, a1=-0.4, b1=0.9)
+    h = GridHierarchy.from_mesh(meshes)
+    opts = Options(precision="mixed")  # auto -> direct coarse -> batched path
+    bvp = get_poisson_bvp(h, (("N", "N"), ("N", "N")), opts)
+    u1, i1 = bvp.solve(np.zeros_like(rhs1), rhs1)
+    u2, i2 = bvp.solve(np.zeros_like(rhs2), rhs2)
+    us, infos = bvp.solve_batch(
+        [np.zeros_like(rhs1), np.zeros_like(rhs2)], [rhs1, rhs2]
+    )
+    assert [s.cycles for s in infos] == [i1.cycles, i2.cycles]
+    np.testing.assert_allclose(np.asarray(us[0]), np.asarray(u1), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(us[1]), np.asarray(u2), atol=1e-13)
+    assert all(s.ierr == 0 for s in infos)
