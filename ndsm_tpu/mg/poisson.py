@@ -280,10 +280,8 @@ class PoissonBVP:
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
-        ierr = np.asarray(ierr)
+        du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
         wall = _time.perf_counter() - t0
-        du = np.asarray(du)
-        it = np.asarray(it)
         infos = [
             SolveInfo(
                 ierr=int(ierr[k]),
@@ -342,9 +340,9 @@ class PoissonBVP:
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
-        ierr = int(ierr)  # device sync
+        du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
         info = SolveInfo(
-            ierr=ierr,
+            ierr=int(ierr),
             du_last=float(du),
             cycles=int(it),
             name=name,

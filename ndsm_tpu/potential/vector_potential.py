@@ -91,7 +91,7 @@ def compute_vector_potential(
 
     mode = options.resolve_precision()
     dtype = jnp.float32 if mode == "fp32" else jnp.float64
-    b = jnp.asarray(b, dtype=dtype)
+    b = np.asarray(b)
     nz, ny, nx = len(z), len(y), len(x)
     if b.shape != (3, nz, ny, nx):
         raise ValueError(f"b shape {b.shape} != (3, {nz}, {ny}, {nx})")
@@ -104,25 +104,25 @@ def compute_vector_potential(
     # ------------------------------------------------------------------
     # Faces: extract Bn, fluxes, areas
     # ------------------------------------------------------------------
+    # Only the six boundary-face normal components of b are read (quirk
+    # Q12); extract them host-side so the full volume is never uploaded.
     bn = []
     for f in range(6):
         comp = F.FACE_COMP[f]
         idx = F.face_volume_index(f, (nz, ny, nx))
-        bn.append(b[comp][idx])  # C axes (d2, d1)
+        bn.append(jnp.asarray(np.ascontiguousarray(b[comp][idx]), dtype=dtype))
 
-    phi = []
+    spacings = []
     for f in range(6):
         d1, d2 = F.FACE_DIMS[f]
         if options.reference_flux_quirk:
             # Reference integrates every face with (dx, dy)
             # (ndsm_vector_potential.f90:300-306).
-            s0, s1 = dq[0], dq[1]
+            spacings.append((float(dq[0]), float(dq[1])))
         else:
-            s0, s1 = dq[d2], dq[d1]
-        phi.append(trapz_2d(bn[f], float(s0), float(s1)))
-    phi = jnp.stack(phi)
-
-    areas = np.array([Lq[d1] * Lq[d2] for (d1, d2) in F.FACE_DIMS])
+            spacings.append((float(dq[d2]), float(dq[d1])))
+    areas = tuple(float(Lq[d1] * Lq[d2]) for (d1, d2) in F.FACE_DIMS)
+    chi_rhs, phi = _phase_pre(tuple(bn), tuple(spacings), areas)
 
     # ------------------------------------------------------------------
     # Six all-Neumann 2D solves: laplace(chi) = Bn - Phi/Area
@@ -141,7 +141,7 @@ def compute_vector_potential(
         groups.setdefault(hierarchy, []).append(f)
     for hierarchy, faces_in_group in groups.items():
         bvp = get_poisson_bvp(hierarchy, (("N", "N"), ("N", "N")), options)
-        rhss = [bn[f] - phi[f] / areas[f] for f in faces_in_group]
+        rhss = [chi_rhs[f] for f in faces_in_group]
         u0s = [jnp.zeros_like(r) for r in rhss]
         us, infos = bvp.solve_batch(
             u0s,
@@ -160,20 +160,16 @@ def compute_vector_potential(
     # At = -grad(chi) x n, edge derivatives zeroed
     # (reference: ndsm_vector_potential.f90:387-399, 977-1031)
     # ------------------------------------------------------------------
-    At1, At2 = [], []
+    hs = []
     for f in range(6):
         d1, d2 = F.FACE_DIMS[f]
         if options.reference_flux_quirk:
             # Reference differentiates with the *normal* axis' spacing
             # (ndsm_vector_potential.f90:394-397).
-            h1 = h2 = dq[F.FACE_COMP[f]]
+            hs.append((float(dq[F.FACE_COMP[f]]),) * 2)
         else:
-            h1, h2 = dq[d1], dq[d2]
-        dchi_d1 = _central_diff_zero_edges(chi[f], float(h1), axis=1)
-        dchi_d2 = _central_diff_zero_edges(chi[f], float(h2), axis=0)
-        s1, s2 = F.at_signs(f)
-        At1.append(s1 * dchi_d2)
-        At2.append(s2 * dchi_d1)
+            hs.append((float(dq[d1]), float(dq[d2])))
+    signs = tuple(F.at_signs(f) for f in range(6))
 
     # ------------------------------------------------------------------
     # Three 3D mixed-BC solves (reference solve(), :598-691), or the
@@ -182,6 +178,14 @@ def compute_vector_potential(
     comp_info = []
 
     def _solve_components(active_face: Optional[int]):
+        u0s = _phase_at_u0(
+            tuple(chi),
+            tuple(hs),
+            signs,
+            (nz, ny, nx),
+            active_face,
+            jnp.zeros((), dtype=dtype),
+        )
         comps = []
         for comp in range(3):
             # BCs per C axis (z, y, x): Neumann on the faces normal to
@@ -190,15 +194,7 @@ def compute_vector_potential(
             bcs = tuple(
                 ("N", "N") if (2 - axis) == comp else ("D", "D") for axis in range(3)
             )
-            u0 = jnp.zeros((nz, ny, nx), dtype=dtype)
-            for f in range(6):
-                if F.FACE_COMP[f] == comp:
-                    continue
-                if active_face is not None and f != active_face:
-                    continue
-                slot = F.face_at_component(f, comp)
-                data = At1[f] if slot == 1 else At2[f]
-                u0 = u0.at[F.face_volume_index(f, (nz, ny, nx))].set(data)
+            u0 = u0s[comp]
             hierarchy = GridHierarchy.from_mesh((z, y, x))
             ms = options.ms
             if comp == 2 and not options.honor_ms_for_az:
@@ -233,13 +229,16 @@ def compute_vector_potential(
     # Flux-balance correction + curl (reference :453-477; default order:
     # analytic A correction first, then B = curl(A) numerically)
     # ------------------------------------------------------------------
-    dqj = jnp.asarray(dq, dtype=dtype)
-    if options.flux_correction_order == 1:
-        B = curl(A, dqj)
-        B, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A)
-    else:
-        _, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, b, A)
-        B = curl(A, dqj)
+    A, B = _phase_post(
+        A,
+        phi,
+        jnp.asarray(x, dtype=dtype),
+        jnp.asarray(y, dtype=dtype),
+        jnp.asarray(z, dtype=dtype),
+        tuple(float(v) for v in Lq),
+        tuple(float(v) for v in dq),
+        int(options.flux_correction_order),
+    )
 
     ierr = max([s.ierr for s in chi_info] + [s.ierr for s in comp_info])
     info = VectorPotentialInfo(
@@ -255,23 +254,26 @@ def _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A):
     """Analytic flux-balance fields (reference add_flux_balance_fields,
     ndsm_vector_potential.f90:880-950): a linear-in-coordinates magnetic
     field absorbing any net face flux, plus the matching vector potential
-    A_c + (A1_l + A2_l + A3_l)/3."""
+    A_c + (A1_l + A2_l + A3_l)/3.  ``B=None`` skips the field correction
+    (used when the curl will overwrite it anyway)."""
     dtype = A.dtype
     x = jnp.asarray(mesh_xyz[0], dtype=dtype)[None, None, :]
     y = jnp.asarray(mesh_xyz[1], dtype=dtype)[None, :, None]
     z = jnp.asarray(mesh_xyz[2], dtype=dtype)[:, None, None]
-    V = float(np.prod(Lq))
+    V = float(np.prod(np.asarray(Lq)))
     g = jnp.stack(
         [(phi[1] - phi[0]) / V, (phi[3] - phi[2]) / V, (phi[5] - phi[4]) / V]
     ).astype(dtype)
 
-    bc = jnp.stack(
-        [
-            g[0] * x + phi[0] * Lq[0] / V + 0.0 * (y + z),
-            g[1] * y + phi[2] * Lq[1] / V + 0.0 * (x + z),
-            g[2] * z + phi[4] * Lq[2] / V + 0.0 * (x + y),
-        ]
-    )
+    bc = None
+    if B is not None:
+        bc = jnp.stack(
+            [
+                g[0] * x + phi[0] * Lq[0] / V + 0.0 * (y + z),
+                g[1] * y + phi[2] * Lq[1] / V + 0.0 * (x + z),
+                g[2] * z + phi[4] * Lq[2] / V + 0.0 * (x + y),
+            ]
+        )
 
     # Sum of the three linear-term potentials (:932-934):
     # A1_l + A2_l + A3_l = [(g2-g3) y z, (g3-g1) x z, (g1-g2) x y]
@@ -290,4 +292,64 @@ def _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A):
             -phi[2] * Lq[1] * x / V + 0.0 * (y + z),
         ]
     )
-    return B + bc, A + Ac + lin / 3.0
+    B_out = None if B is None else B + bc
+    return B_out, A + Ac + lin / 3.0
+
+# ----------------------------------------------------------------------
+# Jitted glue phases.  Eager op dispatch is expensive on tunneled TPU
+# runtimes (~100ms+ per op); fusing the non-solve pipeline into three
+# compiled functions removes a few hundred dispatches per call.
+# ----------------------------------------------------------------------
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("spacings", "areas"))
+def _phase_pre(bn, spacings, areas):
+    """Fluxes + flux-balanced chi right-hand sides for all six faces."""
+    phi = jnp.stack(
+        [trapz_2d(bn[f], spacings[f][0], spacings[f][1]) for f in range(6)]
+    )
+    rhs = tuple(bn[f] - phi[f] / areas[f] for f in range(6))
+    return rhs, phi
+
+
+@_partial(jax.jit, static_argnames=("hs", "signs", "vol_shape", "active_face"))
+def _phase_at_u0(chi, hs, signs, vol_shape, active_face, dtype):
+    """At = -grad(chi) x n for all faces, scattered into the three
+    component initial guesses (Dirichlet data)."""
+    At1, At2 = [], []
+    for f in range(6):
+        h1, h2 = hs[f]
+        dchi_d1 = _central_diff_zero_edges(chi[f], h1, axis=1)
+        dchi_d2 = _central_diff_zero_edges(chi[f], h2, axis=0)
+        s1, s2 = signs[f]
+        At1.append(s1 * dchi_d2)
+        At2.append(s2 * dchi_d1)
+    u0s = []
+    for comp in range(3):
+        u0 = jnp.zeros(vol_shape, dtype=dtype.dtype)
+        for f in range(6):
+            if F.FACE_COMP[f] == comp:
+                continue
+            if active_face is not None and f != active_face:
+                continue
+            slot = F.face_at_component(f, comp)
+            data = At1[f] if slot == 1 else At2[f]
+            u0 = u0.at[F.face_volume_index(f, vol_shape)].set(data)
+        u0s.append(u0)
+    return tuple(u0s)
+
+
+@_partial(jax.jit, static_argnames=("Lq", "dq", "order"))
+def _phase_post(A, phi, xs, ys, zs, Lq, dq, order):
+    """Flux-balance correction + curl in one compiled pass."""
+    dqj = jnp.asarray(dq, dtype=A.dtype)
+    mesh_xyz = (xs, ys, zs)
+    if order == 1:
+        B = curl(A, dqj)
+        B, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A)
+    else:
+        _, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, None, A)
+        B = curl(A, dqj)
+    return A, B
