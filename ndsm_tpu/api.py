@@ -7,8 +7,7 @@ compatibility: there is no shared library to locate).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

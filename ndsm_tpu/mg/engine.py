@@ -26,7 +26,7 @@ level is smoothed ms more times *after* solve_exact.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

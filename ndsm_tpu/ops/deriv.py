@@ -9,8 +9,6 @@ as fused slice arithmetic along an axis.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from jax import lax

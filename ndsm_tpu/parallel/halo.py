@@ -13,7 +13,6 @@ parity, and the all-Neumann mean subtraction as a cross-shard psum.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import jax

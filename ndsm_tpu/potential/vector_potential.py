@@ -39,7 +39,7 @@ import numpy as np
 from jax import lax
 
 from ..grids import GridHierarchy
-from ..options import Options, SolveInfo, VectorPotentialInfo
+from ..options import Options, VectorPotentialInfo
 from ..ops.deriv import curl
 from ..ops.reduce import trapz_2d
 from ..mg.poisson import get_poisson_bvp
