@@ -72,10 +72,10 @@ def vector_potential(
             precision=precision,
         )
 
-    b = np.asarray(b, dtype=np.float64)
+    b = np.asarray(b)
     ierr, A, B, info = compute_vector_potential((x, y, z), b, options)
-    A = np.asarray(A, dtype=np.float64)
-    B = np.asarray(B, dtype=np.float64)
+    A = np.asarray(A)
+    B = np.asarray(B)
     if full_output:
         return ierr, A, B, info
     return ierr, A, B

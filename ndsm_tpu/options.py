@@ -74,6 +74,11 @@ class Options:
     #: (half the HBM traffic per sweep, rounding-identical results);
     #: "masked" uses the dense masked-update formulation.
     smoother: str = "auto"
+    #: dtype of the returned A and B arrays. "float64" matches the
+    #: reference ABI exactly; "float32" halves output memory/transfer —
+    #: safe for production use since the outputs' truncation error is far
+    #: above float32 resolution (the solve itself is unaffected).
+    output_dtype: str = "float64"
     ex_tol: float = 1e-13
     vc_tol: float = 1e-10
     mean: bool = False

@@ -229,6 +229,7 @@ def compute_vector_potential(
     # Flux-balance correction + curl (reference :453-477; default order:
     # analytic A correction first, then B = curl(A) numerically)
     # ------------------------------------------------------------------
+    out_dtype = jnp.dtype(getattr(options, "output_dtype", "float64")).name
     A, B = _phase_post(
         A,
         phi,
@@ -238,6 +239,7 @@ def compute_vector_potential(
         tuple(float(v) for v in Lq),
         tuple(float(v) for v in dq),
         int(options.flux_correction_order),
+        out_dtype,
     )
 
     ierr = max([s.ierr for s in chi_info] + [s.ierr for s in comp_info])
@@ -341,8 +343,8 @@ def _phase_at_u0(chi, hs, signs, vol_shape, active_face, dtype):
     return tuple(u0s)
 
 
-@_partial(jax.jit, static_argnames=("Lq", "dq", "order"))
-def _phase_post(A, phi, xs, ys, zs, Lq, dq, order):
+@_partial(jax.jit, static_argnames=("Lq", "dq", "order", "out_dtype"))
+def _phase_post(A, phi, xs, ys, zs, Lq, dq, order, out_dtype):
     """Flux-balance correction + curl in one compiled pass."""
     dqj = jnp.asarray(dq, dtype=A.dtype)
     mesh_xyz = (xs, ys, zs)
@@ -352,4 +354,7 @@ def _phase_post(A, phi, xs, ys, zs, Lq, dq, order):
     else:
         _, A = _add_flux_balance_fields(mesh_xyz, Lq, phi, None, A)
         B = curl(A, dqj)
+    if out_dtype is not None:
+        A = A.astype(out_dtype)
+        B = B.astype(out_dtype)
     return A, B
