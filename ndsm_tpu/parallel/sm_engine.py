@@ -117,14 +117,19 @@ class ShardedPoissonBVP:
         self.options = options
         self.mesh = mesh
         self.axis_name = axis_name
-        mode = options.resolve_precision()
-        self.dtype = jnp.float32 if mode == "fp32" else jnp.float64
+        self.mode = options.resolve_precision()
+        self.dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
+        self.inner_dtype = (
+            jnp.float32 if self.mode in ("mixed", "fp32") else jnp.float64
+        )
         self.ndev = mesh.shape[axis_name]
         ndev = self.ndev
 
-        # Level plan: prefix of shardable levels, then replicated.
+        # Level plan: prefix of shardable levels, then replicated.  The
+        # coarsest level is always replicated (its "exact" solve must see
+        # the full array).
         self.seam = 0
-        for l, shape in enumerate(hierarchy.shapes):
+        for l, shape in enumerate(hierarchy.shapes[: hierarchy.ngrids - 1]):
             n0 = shape[0]
             if n0 % ndev == 0 and n0 >= ndev * min_rows_per_shard:
                 self.seam = l + 1
@@ -380,6 +385,7 @@ class ShardedPoissonBVP:
     def _vcycle(self, u, rhs, ex_tol, nmax_exact):
         L = self.h.ngrids
         ms = self.options.ms
+        dtype = u.dtype
         us = [None] * L
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
@@ -395,7 +401,7 @@ class ShardedPoissonBVP:
             shape_c = list(self.h.shapes[l + 1])
             if l + 1 < self.seam:
                 shape_c[0] //= self.ndev
-            us[l + 1] = self._vary(jnp.zeros(tuple(shape_c), dtype=self.dtype))
+            us[l + 1] = self._vary(jnp.zeros(tuple(shape_c), dtype=dtype))
         us[L - 1] = self._coarse_solve(rhss[L - 1], ex_tol, nmax_exact)
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
@@ -403,9 +409,32 @@ class ShardedPoissonBVP:
             us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
         return us[0]
 
+    def _cycle_mixed(self, u, rhs, ex_tol, nmax_exact):
+        """f64 defect correction around an f32 V-cycle (the sharded
+        analogue of PoissonBVP's mixed mode; see mg/poisson.py)."""
+        r0 = self._sharded_residual(u, rhs, 0)
+        s = lax.pmax(jnp.max(jnp.abs(r0)), self.axis_name)
+        s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
+        r32 = (r0 / s_safe).astype(jnp.float32)
+        eps32 = 32.0 * float(np.finfo(np.float32).eps)
+        ex_tol_eff = jnp.maximum(ex_tol, eps32)
+        e0 = self._vary(jnp.zeros(r32.shape, dtype=jnp.float32))
+        e32 = self._vcycle(e0, r32, ex_tol_eff, nmax_exact)
+        e = e32.astype(self.dtype) * s_safe
+        e = jnp.where(s > 0, e, jnp.zeros_like(e))
+        u_new = u + e
+        if stencils.is_all_neumann(self.bcs):
+            total = float(np.prod(self.h.shapes[0]))
+            mean = lax.psum(jnp.sum(u_new), self.axis_name) / jnp.asarray(
+                total, u_new.dtype
+            )
+            u_new = u_new - mean
+        return u_new
+
     def _local_solve(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         vc_tol = vc_tol.astype(self.dtype)
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
+        mixed = self.mode == "mixed"
 
         def cond(c):
             _, du, it = c
@@ -413,7 +442,10 @@ class ShardedPoissonBVP:
 
         def body(c):
             u, _, it = c
-            u_new = self._vcycle(u, rhs, ex_tol, nmax_exact)
+            if mixed:
+                u_new = self._cycle_mixed(u, rhs, ex_tol, nmax_exact)
+            else:
+                u_new = self._vcycle(u, rhs, ex_tol, nmax_exact)
             du = self._metric(u_new, u, 0)
             return (u_new, du, it + 1)
 

@@ -215,3 +215,25 @@ class TestShardMapEngine:
         np.testing.assert_allclose(
             np.asarray(u_sm), np.asarray(u_ref), rtol=0, atol=1e-11
         )
+
+    def test_mixed_precision_sharded(self):
+        """Sharded f32 V-cycles inside f64 defect correction converge to
+        the fp64 single-device solution."""
+        from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+        n = 32
+        bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+        x, U, rhs = self._problem(n, bcs)
+        h = GridHierarchy.from_mesh((x, x, x))
+        u_ref, _ = PoissonBVP(h, bcs, Options(precision="fp64")).solve(
+            np.zeros_like(U), rhs
+        )
+        sbvp = ShardedPoissonBVP(
+            h, bcs, Options(precision="mixed"), mesh=make_mesh(8),
+            min_rows_per_shard=2,
+        )
+        u_sm, info = sbvp.solve(np.zeros_like(U), rhs)
+        assert info.ierr == 0
+        np.testing.assert_allclose(
+            np.asarray(u_sm), np.asarray(u_ref), rtol=0, atol=5e-11
+        )
