@@ -215,6 +215,11 @@ def compute_vector_potential(
                 + ("" if active_face is None else f"_face{active_face}"),
             )
             comp_info.append(info)
+            # Early downcast when float32 outputs are requested: frees the
+            # f64 solution before the next component solves (the output
+            # accuracy is truncation-dominated far above f32 resolution).
+            if jnp.dtype(getattr(options, "output_dtype", "float64")) == jnp.float32:
+                u = u.astype(jnp.float32)
             comps.append(u)
         return jnp.stack(comps)
 
