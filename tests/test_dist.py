@@ -237,3 +237,28 @@ class TestShardMapEngine:
         np.testing.assert_allclose(
             np.asarray(u_sm), np.asarray(u_ref), rtol=0, atol=5e-11
         )
+
+    def test_2d_sharded(self):
+        """The shard_map engine is dimension-generic: 2D all-Neumann
+        (chi-style) problem."""
+        from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+        n = 48
+        x = np.linspace(0, 1, n)
+        X, Y = np.meshgrid(x, x, indexing="xy")
+        U = np.cos(np.pi * X) * np.cos(np.pi * Y)
+        rhs = -2 * np.pi**2 * U
+        bcs = (("N", "N"), ("N", "N"))
+        h = GridHierarchy.from_mesh((x, x))
+        opts = Options(precision="fp64", smoother="masked")
+        u_ref, iref = PoissonBVP(h, bcs, opts).solve(np.zeros_like(U), rhs)
+        sbvp = ShardedPoissonBVP(
+            h, bcs, opts, mesh=make_mesh(8), min_rows_per_shard=2
+        )
+        u_sm, ism = sbvp.solve(np.zeros_like(U), rhs)
+        assert ism.ierr == 0
+        a = np.asarray(u_sm) - np.asarray(u_sm).mean()
+        b = np.asarray(u_ref) - np.asarray(u_ref).mean()
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+        err = np.abs(a - (U - U.mean())).max()
+        assert err < 5e-3
