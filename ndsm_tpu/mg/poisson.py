@@ -117,6 +117,12 @@ class PoissonBVP:
         )
         self._all_neumann = stencils.is_all_neumann(self.bcs)
         self._solve_jit = jax.jit(self._solve_impl)
+        # Donating variant for internally-owned buffers (the caller's u0
+        # is invalidated) and a zero-rhs variant that materializes the
+        # right-hand side inside the program (saves a full-grid buffer +
+        # upload for the common rhs == 0 solves).
+        self._solve_jit_donate = jax.jit(self._solve_impl, donate_argnums=(0,))
+        self._solve_zero_rhs_jit = jax.jit(self._solve_impl_zero_rhs, donate_argnums=(0,))
         self._solve_batch_jit = None
         self._vcycle_jit = jax.jit(self._inner.t_vcycle)
         self._two_grid_jit = jax.jit(self._inner.t_two_grid)
@@ -144,6 +150,10 @@ class PoissonBVP:
         if self._all_neumann:
             u_new = u_new - jnp.mean(u_new)
         return u_new
+
+    def _solve_impl_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
+        rhs = jnp.zeros(self.h.fine_shape, dtype=self.outer_dtype)
+        return self._solve_impl(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact)
 
     def _solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         """Outer V-cycle loop (reference: VCYCLE_LOOP,
@@ -306,12 +316,17 @@ class PoissonBVP:
         ncycles_max: Optional[int] = None,
         niterex_max: Optional[int] = None,
         name: str = "",
+        donate: bool = False,
+        zero_rhs: bool = False,
     ) -> Tuple[jax.Array, SolveInfo]:
         """Solve ``laplace(u) = rhs`` starting from ``u0`` (which also
         carries inhomogeneous Dirichlet data on "D" faces — those values
         are held fixed, reference: ndsm_poisson.f90:591-594).
 
         Returns (u, SolveInfo).  Tolerances default to the handle options.
+        ``donate=True`` invalidates the caller's u0 buffer (memory-tight
+        large solves); ``zero_rhs=True`` ignores ``rhs`` and materializes
+        a zero right-hand side inside the program.
         """
         o = self.options
         vc_tol = o.vc_tol if vc_tol is None else vc_tol
@@ -320,26 +335,33 @@ class PoissonBVP:
         nmax_exact = o.niterex_max if niterex_max is None else niterex_max
 
         u0 = jnp.asarray(u0, dtype=self.outer_dtype)
-        rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
         if self.shard_spec is not None:
             u0 = self.shard_spec.put(u0)
-            rhs = self.shard_spec.put(rhs)
-        if u0.shape != self.h.fine_shape or rhs.shape != self.h.fine_shape:
+        if u0.shape != self.h.fine_shape:
             raise ValueError(
-                f"u0/rhs shape {u0.shape}/{rhs.shape} != fine grid "
-                f"{self.h.fine_shape}"
+                f"u0 shape {u0.shape} != fine grid {self.h.fine_shape}"
             )
         import time as _time
 
         t0 = _time.perf_counter()
-        u, du, it, ierr = self._solve_jit(
-            u0,
-            rhs,
+        scalars = (
             jnp.float64(vc_tol),
             jnp.float64(ex_tol),
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
+        if zero_rhs:
+            u, du, it, ierr = self._solve_zero_rhs_jit(u0, *scalars)
+        else:
+            rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
+            if self.shard_spec is not None:
+                rhs = self.shard_spec.put(rhs)
+            if rhs.shape != self.h.fine_shape:
+                raise ValueError(
+                    f"rhs shape {rhs.shape} != fine grid {self.h.fine_shape}"
+                )
+            fn = self._solve_jit_donate if donate else self._solve_jit
+            u, du, it, ierr = fn(u0, rhs, *scalars)
         du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
         info = SolveInfo(
             ierr=int(ierr),

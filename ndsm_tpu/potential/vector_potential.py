@@ -203,16 +203,16 @@ def compute_vector_potential(
                 "dataclasses"
             ).replace(options, ms=ms)
             bvp = get_poisson_bvp(hierarchy, bcs, opts)
-            rhs = jnp.zeros_like(u0)
             u, info = bvp.solve(
                 u0,
-                rhs,
+                None,
                 vc_tol=options.vc_tol,
                 ex_tol=options.ex_tol,
                 ncycles_max=options.ncycles_max,
                 niterex_max=options.niterex_max,
                 name=f"A{'xyz'[comp]}"
                 + ("" if active_face is None else f"_face{active_face}"),
+                zero_rhs=True,
             )
             comp_info.append(info)
             # Early downcast when float32 outputs are requested: frees the
