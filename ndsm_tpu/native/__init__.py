@@ -4,6 +4,7 @@ fallback.  Build lazily with ``ndsm_tpu.native.build()`` or via
 ``make native`` at the repo root."""
 
 from .lib import build, get_lib, available, rb_sweep_3d, rb_sweep_nd, residual_3d
+from .solver import solve_poisson_bvp_native
 
 __all__ = [
     "build",
@@ -12,4 +13,5 @@ __all__ = [
     "rb_sweep_3d",
     "rb_sweep_nd",
     "residual_3d",
+    "solve_poisson_bvp_native",
 ]

@@ -53,3 +53,45 @@ def test_native_sweep_nd():
     got = native.rb_sweep_nd(u, rhs, dq, bcs)
     want = np.asarray(stencils.rb_sweep(u, rhs, dq, bcs))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-13)
+
+
+def test_native_full_solve_matches_jax():
+    """The native CPU solver (C++/OpenMP kernels, numpy driver) and the
+    fp64 JAX engine produce the same solution and cycle count."""
+    from ndsm_tpu import Options, solve_poisson_bvp
+    from ndsm_tpu.native.solver import solve_poisson_bvp_native
+
+    n = 33
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    U = np.sin(np.pi * X) * np.sin(np.pi * Y) * np.sin(np.pi * Z)
+    rhs = -3 * np.pi**2 * U
+    bcs = (("D", "D"), ("D", "D"), ("D", "D"))
+    opts = Options(precision="fp64", smoother="masked", coarse_solver="relax")
+    u_jax, info_jax = solve_poisson_bvp(
+        np.zeros_like(U), rhs, (x, x, x), bcs, options=opts
+    )
+    u_nat, info_nat = solve_poisson_bvp_native(
+        np.zeros_like(U), rhs, (x, x, x), bcs, options=opts
+    )
+    assert info_nat.ierr == 0
+    assert info_nat.cycles == info_jax.cycles
+    np.testing.assert_allclose(u_nat, np.asarray(u_jax), rtol=0, atol=1e-11)
+
+
+def test_native_full_solve_2d_neumann():
+    from ndsm_tpu import Options
+    from ndsm_tpu.native.solver import solve_poisson_bvp_native
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="xy")
+    U = np.cos(np.pi * X) * np.cos(np.pi * Y)
+    rhs = -2 * np.pi**2 * U
+    u, info = solve_poisson_bvp_native(
+        np.zeros_like(U), rhs, (x, x), (("N", "N"), ("N", "N")),
+        options=Options(precision="fp64"),
+    )
+    assert info.ierr == 0
+    u = u - u.mean()
+    assert np.abs(u - (U - U.mean())).max() < 5e-3
