@@ -5,6 +5,7 @@ fallback.  Build lazily with ``ndsm_tpu.native.build()`` or via
 
 from .lib import build, get_lib, available, rb_sweep_3d, rb_sweep_nd, residual_3d
 from .solver import solve_poisson_bvp_native
+from .potential import vector_potential_native
 
 __all__ = [
     "build",
@@ -14,4 +15,5 @@ __all__ = [
     "rb_sweep_nd",
     "residual_3d",
     "solve_poisson_bvp_native",
+    "vector_potential_native",
 ]

@@ -95,3 +95,21 @@ def test_native_full_solve_2d_neumann():
     assert info.ierr == 0
     u = u - u.mean()
     assert np.abs(u - (U - U.mean())).max() < 5e-3
+
+
+@pytest.mark.slow
+def test_native_vector_potential_golden():
+    """The no-JAX pipeline reproduces the golden 22^3 errors exactly."""
+    from ndsm_tpu.native.potential import vector_potential_native
+    from ndsm_tpu.utils.testing import potential_field_case, build_test_mesh
+
+    n = 22
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    A1, b1 = potential_field_case(X, Y, Z)
+    ierr, A2, b2, info = vector_potential_native(x, y, z, b1.copy())
+    assert ierr == 0
+    Ea = np.linalg.norm(A1 - A2, axis=0)
+    Eb = np.linalg.norm(b1 - b2, axis=0)
+    np.testing.assert_allclose(Ea.max(), 1.86048e-03, rtol=1e-4)
+    np.testing.assert_allclose(Eb.max(), 7.65805e-02, rtol=1e-4)
