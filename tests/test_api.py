@@ -96,3 +96,44 @@ def test_module_exports():
         "Options",
     ):
         assert hasattr(ndsm_tpu, name)
+
+
+def test_reference_flux_quirk_paths():
+    """Both flux/gradient spacing conventions run; on a cubic mesh they
+    are identical, on an anisotropic mesh they differ (the quirk
+    reproduces the reference's dx,dy-everywhere integration —
+    ndsm_vector_potential.f90:300-306,394-397)."""
+    n = 12
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    _, b1 = potential_field_case(X, Y, Z)
+    o_fix = Options(precision="fp64")
+    o_quirk = Options(precision="fp64", reference_flux_quirk=True)
+    _, A_f, B_f = vector_potential(x, y, z, b1.copy(), options=o_fix)
+    _, A_q, B_q = vector_potential(x, y, z, b1.copy(), options=o_quirk)
+    np.testing.assert_allclose(A_f, A_q, atol=1e-12)  # cubic: identical
+
+    # anisotropic mesh: quirk changes the answer
+    nx, ny, nz = 14, 12, 10
+    x2 = np.linspace(0, 1.0, nx)
+    y2 = np.linspace(0, 1.3, ny)
+    z2 = np.linspace(0, 0.8, nz)
+    Z2, Y2, X2 = np.meshgrid(z2, y2, x2, indexing="ij")
+    _, b2 = potential_field_case(X2, Y2, Z2)
+    i1, A1q, _ = vector_potential(x2, y2, z2, b2.copy(), options=o_fix)
+    i2, A2q, _ = vector_potential(x2, y2, z2, b2.copy(), options=o_quirk)
+    assert i1 == 0 and i2 == 0
+    assert np.abs(A1q - A2q).max() > 1e-6
+
+
+def test_output_dtype_float32():
+    n = 12
+    x, y, z = build_test_mesh(n)
+    Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
+    _, b1 = potential_field_case(X, Y, Z)
+    o = Options(precision="fp64", output_dtype="float32")
+    ierr, A, B = vector_potential(x, y, z, b1.copy(), options=o)
+    assert ierr == 0
+    assert A.dtype == np.float32 and B.dtype == np.float32
+    _, A64, B64 = vector_potential(x, y, z, b1.copy(), precision="fp64")
+    np.testing.assert_allclose(A, A64, rtol=0, atol=1e-5)
