@@ -48,7 +48,14 @@ from jax import lax
 from . import stencils
 from .stencils import BCS
 
-__all__ = ["split_colors", "merge_colors", "rb_sweep_compact", "compact_supported"]
+__all__ = [
+    "split_colors",
+    "split_colors_p",
+    "merge_colors",
+    "merge_colors_p",
+    "rb_sweep_compact",
+    "compact_supported",
+]
 
 
 def compact_supported(shape, bcs: BCS) -> bool:
@@ -82,30 +89,39 @@ def _ghost_fix(v: jax.Array, own_par: jax.Array, nx: int) -> jax.Array:
     return jnp.concatenate([v[..., :-1], fixed], axis=-1)
 
 
-def split_colors(u: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """u -> (R, B) halves of shape (..., ceil(nx/2)); for odd nx each
-    half's per-row ghost entries mirror the row's last real value."""
+def split_colors_p(u: jax.Array, rowpar: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Split with an explicitly supplied (…lead, 1) row-parity array —
+    needed when the leading indices are a block of a larger (sharded)
+    array and the parity must be computed from GLOBAL indices."""
     nx = u.shape[-1]
     even = u[..., 0::2]
     odd = u[..., 1::2]
     if nx % 2:
         pad = [(0, 0)] * (u.ndim - 1) + [(0, 1)]
         odd = jnp.pad(odd, pad)
-    p = _row_parity(u.shape[:-1])
-    R = jnp.where(p == 0, even, odd)
-    B = jnp.where(p == 0, odd, even)
-    R = _ghost_fix(R, p, nx)
-    B = _ghost_fix(B, 1 - p, nx)
+    R = jnp.where(rowpar == 0, even, odd)
+    B = jnp.where(rowpar == 0, odd, even)
+    R = _ghost_fix(R, rowpar, nx)
+    B = _ghost_fix(B, 1 - rowpar, nx)
     return R, B
+
+
+def split_colors(u: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """u -> (R, B) halves of shape (..., ceil(nx/2)); for odd nx each
+    half's per-row ghost entries mirror the row's last real value."""
+    return split_colors_p(u, _row_parity(u.shape[:-1]))
+
+
+def merge_colors_p(R: jax.Array, B: jax.Array, nx: int, rowpar: jax.Array) -> jax.Array:
+    even = jnp.where(rowpar == 0, R, B)
+    odd = jnp.where(rowpar == 0, B, R)
+    u = jnp.stack([even, odd], axis=-1).reshape(R.shape[:-1] + (2 * R.shape[-1],))
+    return u[..., :nx]
 
 
 def merge_colors(R: jax.Array, B: jax.Array, nx: int) -> jax.Array:
     """(R, B) -> u with last-axis extent nx."""
-    p = _row_parity(R.shape[:-1])
-    even = jnp.where(p == 0, R, B)
-    odd = jnp.where(p == 0, B, R)
-    u = jnp.stack([even, odd], axis=-1).reshape(R.shape[:-1] + (2 * R.shape[-1],))
-    return u[..., :nx]
+    return merge_colors_p(R, B, nx, _row_parity(R.shape[:-1]))
 
 
 def _shift_clamp(v: jax.Array, axis: int, delta: int) -> jax.Array:

@@ -118,6 +118,7 @@ class ShardedPoissonBVP:
         self.mesh = mesh
         self.axis_name = axis_name
         self.mode = options.resolve_precision()
+        self.compact_smoother = getattr(options, "smoother", "auto") != "masked"
         self.dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
         self.inner_dtype = (
             jnp.float32 if self.mode in ("mixed", "fp32") else jnp.float64
@@ -294,14 +295,116 @@ class ShardedPoissonBVP:
             r = jnp.where(interior, r, jnp.zeros((), u.dtype))
         return r
 
-    def _smooth(self, u, rhs, level, n):
-        body = (
-            (lambda _, v: self._sharded_sweep(v, rhs, level))
-            if level < self.seam
-            else (
-                lambda _, v: stencils.rb_sweep(v, rhs, self._dq[level], self.bcs)
-            )
+    # -- color-compact sharded smoothing (half the HBM traffic/sweep) ----
+
+    def _rowpar(self, shape_half_lead, level):
+        """Global (sum of leading indices) parity for a local block,
+        shaped (…lead, 1)."""
+        blk = self.h.shapes[level][0] // self.ndev
+        i = lax.axis_index(self.axis_name)
+        full = tuple(shape_half_lead) + (1,)
+        s = i * blk + lax.broadcasted_iota(jnp.int32, full, 0)
+        for ax in range(1, len(shape_half_lead)):
+            s = s + lax.broadcasted_iota(jnp.int32, full, ax)
+        return lax.rem(s, jnp.int32(2))
+
+    def _compact_half_sharded(self, own, opp, rhs_own, own_par, level, w, w0):
+        """One color's Gauss-Seidel update on sharded compact state: the
+        axis-0 neighbors (same half-index k, opposite color) come from
+        the z-neighbor shards via ppermute; everything else is local."""
+        from ..ops import stencils_compact as sc
+
+        ndev, axn = self.ndev, self.axis_name
+        n0 = self.h.shapes[level][0]
+        nx = self.h.shapes[level][-1]
+        from_prev = lax.ppermute(
+            opp[-1:], axn, [(j, j + 1) for j in range(ndev - 1)]
         )
+        from_next = lax.ppermute(
+            opp[:1], axn, [(j + 1, j) for j in range(ndev - 1)]
+        )
+        lo0 = jnp.concatenate([from_prev, opp[:-1]], axis=0)
+        hi0 = jnp.concatenate([opp[1:], from_next], axis=0)
+        g = self._g0(own.shape, level)
+        lo = jnp.where(g == 0, hi0, lo0)
+        hi = jnp.where(g == n0 - 1, lo0, hi0)
+        total = (lo + hi) * w[0]
+        for a in range(1, own.ndim - 1):
+            la, ha = stencils._neighbors(opp, a)
+            total = total + (la + ha) * w[a]
+        km1 = sc._shift_clamp(opp, own.ndim - 1, -1)
+        kp1 = sc._shift_clamp(opp, own.ndim - 1, +1)
+        nbx = jnp.where(own_par == 0, km1 + opp, opp + kp1)
+        total = total + nbx * w[own.ndim - 1]
+        unew = (total - rhs_own) * w0
+        # update mask: ghost + Dirichlet faces (global z, local middle, gx)
+        kk = lax.broadcasted_iota(jnp.int32, own.shape, own.ndim - 1)
+        gx = 2 * kk + own_par
+        mask = gx < nx
+        if self.bcs[0][0] == "D":
+            mask = mask & (g > 0)
+        if self.bcs[0][1] == "D":
+            mask = mask & (g < n0 - 1)
+        for a in range(1, own.ndim - 1):
+            idx = lax.broadcasted_iota(jnp.int32, own.shape, a)
+            if self.bcs[a][0] == "D":
+                mask = mask & (idx > 0)
+            if self.bcs[a][1] == "D":
+                mask = mask & (idx < own.shape[a] - 1)
+        if self.bcs[-1][0] == "D":
+            mask = mask & (gx > 0)
+        if self.bcs[-1][1] == "D":
+            mask = mask & (gx < nx - 1)
+        own = jnp.where(mask, unew, own)
+        return sc._ghost_fix(own, own_par, nx)
+
+    def _sharded_smooth_compact(self, u, rhs, level, n):
+        from ..ops import stencils_compact as sc
+
+        nx = self.h.shapes[level][-1]
+        w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
+        rowpar = self._rowpar(u.shape[:-1], level)
+        R, B = sc.split_colors_p(u, rowpar)
+        rhs_R, rhs_B = sc.split_colors_p(rhs, rowpar)
+        par_R, par_B = rowpar, 1 - rowpar
+        red = stencils.first_color_parity(self.bcs)
+        all_n = stencils.is_all_neumann(self.bcs)
+        total_pts = float(np.prod(self.h.shapes[level]))
+
+        def body(_, carry):
+            R, B = carry
+            if red == 0:
+                R = self._compact_half_sharded(R, B, rhs_R, par_R, level, w, w0)
+                B = self._compact_half_sharded(B, R, rhs_B, par_B, level, w, w0)
+            else:
+                B = self._compact_half_sharded(B, R, rhs_B, par_B, level, w, w0)
+                R = self._compact_half_sharded(R, B, rhs_R, par_R, level, w, w0)
+            if all_n:
+                if nx % 2 == 0:
+                    s = jnp.sum(R) + jnp.sum(B)
+                else:
+                    kk = lax.broadcasted_iota(jnp.int32, R.shape, R.ndim - 1)
+                    s = jnp.sum(jnp.where(2 * kk + par_R < nx, R, 0)) + jnp.sum(
+                        jnp.where(2 * kk + par_B < nx, B, 0)
+                    )
+                mean = lax.psum(s, self.axis_name) / jnp.asarray(
+                    total_pts, R.dtype
+                )
+                R, B = R - mean, B - mean
+            return (R, B)
+
+        R, B = lax.fori_loop(0, n, body, (R, B))
+        return sc.merge_colors_p(R, B, nx, rowpar)
+
+    def _smooth(self, u, rhs, level, n):
+        if level < self.seam:
+            if self.compact_smoother and u.shape[-1] >= 4:
+                return self._sharded_smooth_compact(u, rhs, level, n)
+            body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
+        else:
+            body = lambda _, v: stencils.rb_sweep(  # noqa: E731
+                v, rhs, self._dq[level], self.bcs
+            )
         return lax.fori_loop(0, n, body, u)
 
     def _restrict(self, r, level):

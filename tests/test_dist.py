@@ -262,3 +262,59 @@ class TestShardMapEngine:
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
         err = np.abs(a - (U - U.mean())).max()
         assert err < 5e-3
+
+    def test_compact_sharded_smoother(self):
+        """The color-compact sharded smoother (default) matches the
+        masked sharded path and the single-device engine."""
+        from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+        n = 32
+        bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+        x, U, rhs = self._problem(n, bcs)
+        h = GridHierarchy.from_mesh((x, x, x))
+        opts_c = Options(precision="fp64")           # compact (auto)
+        opts_m = Options(precision="fp64", smoother="masked")
+        mesh = make_mesh(8)
+        u_c, info_c = ShardedPoissonBVP(
+            h, bcs, opts_c, mesh=mesh, min_rows_per_shard=2
+        ).solve(np.zeros_like(U), rhs)
+        u_m, info_m = ShardedPoissonBVP(
+            h, bcs, opts_m, mesh=mesh, min_rows_per_shard=2
+        ).solve(np.zeros_like(U), rhs)
+        assert info_c.ierr == 0
+        assert info_c.cycles == info_m.cycles
+        np.testing.assert_allclose(
+            np.asarray(u_c), np.asarray(u_m), rtol=0, atol=1e-12
+        )
+        u_ref, _ = PoissonBVP(h, bcs, opts_m).solve(np.zeros_like(U), rhs)
+        np.testing.assert_allclose(
+            np.asarray(u_c), np.asarray(u_ref), rtol=0, atol=1e-12
+        )
+
+    def test_compact_sharded_odd_extent_all_neumann(self):
+        """Compact sharded path with an odd last-axis extent (ghost
+        columns) and the all-Neumann mean: still matches masked."""
+        from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+        nz, nxy = 32, 27
+        z = np.linspace(0, 1, nz)
+        xy = np.linspace(0, 1, nxy)
+        rng = np.random.default_rng(12)
+        rhs = rng.standard_normal((nz, nxy, nxy))
+        rhs -= rhs.mean()
+        bcs = (("N", "N"), ("N", "N"), ("N", "N"))
+        h = GridHierarchy.from_mesh((z, xy, xy), ngrids=3)
+        mesh = make_mesh(8)
+        opts_c = Options(precision="fp64", ncycles_max=3, vc_tol=1e-30)
+        opts_m = Options(
+            precision="fp64", ncycles_max=3, vc_tol=1e-30, smoother="masked"
+        )
+        u_c, _ = ShardedPoissonBVP(
+            h, bcs, opts_c, mesh=mesh, min_rows_per_shard=2
+        ).solve(np.zeros((nz, nxy, nxy)), rhs)
+        u_m, _ = ShardedPoissonBVP(
+            h, bcs, opts_m, mesh=mesh, min_rows_per_shard=2
+        ).solve(np.zeros((nz, nxy, nxy)), rhs)
+        np.testing.assert_allclose(
+            np.asarray(u_c), np.asarray(u_m), rtol=0, atol=1e-11
+        )
