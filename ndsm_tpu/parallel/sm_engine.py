@@ -311,24 +311,36 @@ class ShardedPoissonBVP:
     def _compact_half_sharded(self, own, opp, rhs_own, own_par, level, w, w0):
         """One color's Gauss-Seidel update on sharded compact state: the
         axis-0 neighbors (same half-index k, opposite color) come from
-        the z-neighbor shards via ppermute; everything else is local."""
+        the z-neighbor shards via ppermute; everything else is local.
+
+        The axis-0 stencil term is computed in three sections — interior
+        rows depend only on local data, the two boundary rows on the
+        exchanged planes — so the XLA scheduler can overlap the (async)
+        collective-permute with the interior computation.
+        """
         from ..ops import stencils_compact as sc
 
         ndev, axn = self.ndev, self.axis_name
         n0 = self.h.shapes[level][0]
         nx = self.h.shapes[level][-1]
+        blk = own.shape[0]
+        # issue exchanges first
         from_prev = lax.ppermute(
             opp[-1:], axn, [(j, j + 1) for j in range(ndev - 1)]
         )
         from_next = lax.ppermute(
             opp[:1], axn, [(j + 1, j) for j in range(ndev - 1)]
         )
-        lo0 = jnp.concatenate([from_prev, opp[:-1]], axis=0)
-        hi0 = jnp.concatenate([opp[1:], from_next], axis=0)
         g = self._g0(own.shape, level)
-        lo = jnp.where(g == 0, hi0, lo0)
-        hi = jnp.where(g == n0 - 1, lo0, hi0)
-        total = (lo + hi) * w[0]
+        # interior rows 1..blk-2: purely local (their global index can be
+        # neither 0 nor n0-1, so no reflection select is needed)
+        z_int = (opp[:-2] + opp[2:]) * w[0]
+        # boundary rows: reflection at the global ends, remote plane else
+        lo_top = jnp.where(g[:1] == 0, opp[1:2], from_prev)
+        z_top = (lo_top + opp[1:2]) * w[0]
+        hi_bot = jnp.where(g[-1:] == n0 - 1, opp[-2:-1], from_next)
+        z_bot = (opp[-2:-1] + hi_bot) * w[0]
+        total = jnp.concatenate([z_top, z_int, z_bot], axis=0)
         for a in range(1, own.ndim - 1):
             la, ha = stencils._neighbors(opp, a)
             total = total + (la + ha) * w[a]
