@@ -3,35 +3,41 @@
 The GSPMD path (ShardSpec + sharding constraints) lets XLA choose the
 communication for every op.  This engine instead expresses the ENTIRE
 Poisson solve — outer V-cycle loop, smoothing, residual, transfers,
-coarse solve, metrics — as one ``shard_map`` program over a 1-D device
-mesh with hand-placed collectives, the layout that maps directly onto a
-TPU pod slice:
+coarse solve, metrics — as one ``shard_map`` program over a 1-D or N-D
+device mesh with hand-placed collectives, the layout that maps directly
+onto a TPU pod slice:
 
-  * every level whose axis-0 extent divides the mesh and exceeds a row
-    threshold is block-partitioned along axis 0; smoothing and residual
-    exchange one boundary plane per half-sweep with ``lax.ppermute``
-    (ICI neighbors), with global-boundary reflection handled by
-    global-index masks;
-  * sharded->sharded restriction/prolongation contract axis 0 with
-    PER-SHARD matrix blocks (precomputed from the coordinate-based
-    operators' actual support, including the non-power-of-two drift of
-    the reference's floor(n/2) level sizes) over an H-plane halo
-    exchange; the remaining axes use the full per-axis matrices locally;
-  * at the replication seam (first level that is too small to shard) the
-    fine residual is all-gathered once and everything below runs
-    replicated — the latency-bound coarse solve never touches the
-    network (BASELINE.json north star);
-  * convergence metrics are psum/pmax collectives.
+  * the leading array axes are block-partitioned over the mesh axes
+    (``axis_names``); a level is sharded while every partitioned extent
+    divides its mesh axis and exceeds a row threshold.  Smoothing and
+    residual exchange one boundary plane per partitioned axis per
+    half-sweep with ``lax.ppermute`` (ICI neighbors), with
+    global-boundary reflection handled by global-index selects on the
+    boundary planes only;
+  * sharded->sharded restriction/prolongation contract each partitioned
+    axis with PER-SHARD matrix blocks (precomputed from the
+    coordinate-based operators' actual support, including the
+    non-power-of-two drift of the reference's floor(n/2) level sizes)
+    over an H-plane halo exchange; the remaining axes use the full
+    per-axis matrices locally;
+  * at the replication seam (first level too small to shard) the fine
+    residual is all-gathered once and everything below runs replicated —
+    the latency-bound coarse solve never touches the network
+    (BASELINE.json north star);
+  * convergence metrics and the all-Neumann mean are psum/pmax
+    collectives over all partitioned mesh axes;
+  * smoothing on sharded levels runs in color-compact form by default
+    (half the HBM traffic and halo volume; Options.smoother="masked"
+    selects the dense masked formulation).
 
-Restriction to axis-0-divisible levels keeps the round-1 scope honest;
-non-divisible fine levels simply lower the seam.  Results match the
-single-device engine to rounding (tests/test_dist.py).
+Results match the single-device engine to rounding with identical cycle
+counts (tests/test_dist.py), in fp64 and in mixed precision (sharded f32
+V-cycles inside the f64 defect-correction loop).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +49,7 @@ from jax import shard_map
 from ..grids import GridHierarchy
 from ..options import IERR_COVFAIL, IERR_SUCCESS, Options, SolveInfo
 from ..ops import stencils
+from ..ops import stencils_compact as sc
 from ..ops.transfer import (
     apply_axis_matrices,
     interp_matrix_1d,
@@ -53,14 +60,13 @@ from ..mg.coarse import build_coarse_solver_matrix
 __all__ = ["ShardedPoissonBVP"]
 
 
-def _axis0_blocks(M: np.ndarray, ndev: int) -> Tuple[np.ndarray, int, np.ndarray]:
-    """Split a (n_out, n_in) axis-0 transfer matrix into per-shard blocks.
+def _axis_blocks(M: np.ndarray, ndev: int) -> Tuple[np.ndarray, int]:
+    """Split an (n_out, n_in) transfer matrix into per-shard blocks.
 
-    Returns (blocks, H, starts): blocks has shape
-    (ndev, n_out/ndev, bf + 2H) where bf = n_in/ndev, H is the halo depth
-    covering every shard's actual column support, and blocks[i] acts on
-    the shard's local input rows extended by H planes on each side
-    (zero-padded beyond the global ends).
+    Returns (blocks, H): blocks has shape (ndev, n_out/ndev, bi + 2H)
+    where bi = n_in/ndev and H is the halo depth covering every shard's
+    actual column support; blocks[i] acts on the shard's local input
+    extended by H planes per side (zero-padded beyond the global ends).
     """
     n_out, n_in = M.shape
     bo, bi = n_out // ndev, n_in // ndev
@@ -70,7 +76,6 @@ def _axis0_blocks(M: np.ndarray, ndev: int) -> Tuple[np.ndarray, int, np.ndarray
         cols = np.flatnonzero(np.any(rows != 0.0, axis=0))
         if cols.size:
             H = max(H, i * bi - int(cols[0]), int(cols[-1]) + 1 - (i + 1) * bi)
-    H = max(H, 0)
     W = bi + 2 * H
     blocks = np.zeros((ndev, bo, W), dtype=np.float64)
     for i in range(ndev):
@@ -79,27 +84,27 @@ def _axis0_blocks(M: np.ndarray, ndev: int) -> Tuple[np.ndarray, int, np.ndarray
             c = lo + w
             if 0 <= c < n_in:
                 blocks[i, :, w] = M[i * bo : (i + 1) * bo, c]
-    return blocks, H, np.arange(ndev) * bi
+    return blocks, H
 
 
-def _exchange_halo(v: jax.Array, H: int, axis_name: str, ndev: int):
-    """Return v extended by H planes from each axis-0 neighbor
-    (zeros beyond the global ends)."""
-    if H == 0:
-        return v
-    from_prev = lax.ppermute(
-        v[-H:], axis_name, [(j, j + 1) for j in range(ndev - 1)]
-    )
-    from_next = lax.ppermute(
-        v[:H], axis_name, [(j + 1, j) for j in range(ndev - 1)]
-    )
-    return jnp.concatenate([from_prev, v, from_next], axis=0)
+def _plane(v: jax.Array, ax: int, lo: int, hi: int) -> jax.Array:
+    n = v.shape[ax]
+    lo = lo if lo >= 0 else n + lo
+    hi = hi if hi > 0 else n + hi
+    return lax.slice_in_dim(v, lo, hi, axis=ax)
 
 
 class ShardedPoissonBVP:
     """Poisson solve with the whole multigrid algorithm inside one
-    ``shard_map`` (see module docstring).  Single-dtype ("fp64"/"fp32")
-    V-cycling with the same metric/tolerance semantics as PoissonBVP.
+    ``shard_map`` (see module docstring).
+
+    Parameters:
+      hierarchy, bcs, options: as for PoissonBVP.
+      mesh: device mesh containing every name in ``axis_names``.
+      axis_names: mesh axis name per partitioned array axis, in array-axis
+        order starting at axis 0 (e.g. ("z",) or ("z", "y")).  The last
+        array axis must stay unpartitioned (it is the color-split axis).
+      min_rows_per_shard: replicate levels with fewer local rows.
     """
 
     def __init__(
@@ -109,46 +114,53 @@ class ShardedPoissonBVP:
         options: Options = Options(),
         *,
         mesh: Mesh,
-        axis_name: str = "z",
+        axis_names: Sequence[str] = ("z",),
+        axis_name: Optional[str] = None,  # backwards-compat alias
         min_rows_per_shard: int = 4,
     ):
+        if axis_name is not None:
+            axis_names = (axis_name,)
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.options = options
         self.mesh = mesh
-        self.axis_name = axis_name
+        self.names: Tuple[str, ...] = tuple(axis_names)
+        if len(self.names) >= hierarchy.ndim:
+            raise ValueError("the last array axis cannot be partitioned")
+        self.parts: List[Tuple[int, str]] = list(enumerate(self.names))
+        self.ndev: Dict[str, int] = {n: mesh.shape[n] for n in self.names}
         self.mode = options.resolve_precision()
         self.compact_smoother = getattr(options, "smoother", "auto") != "masked"
         self.dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
-        self.inner_dtype = (
-            jnp.float32 if self.mode in ("mixed", "fp32") else jnp.float64
-        )
-        self.ndev = mesh.shape[axis_name]
-        ndev = self.ndev
+        self.ndev0 = self.ndev[self.names[0]]
+        # Legacy single-axis attributes used by tests/introspection
+        self.axis_name = self.names[0]
 
         # Level plan: prefix of shardable levels, then replicated.  The
-        # coarsest level is always replicated (its "exact" solve must see
-        # the full array).
+        # coarsest level is always replicated.
         self.seam = 0
         for l, shape in enumerate(hierarchy.shapes[: hierarchy.ngrids - 1]):
-            n0 = shape[0]
-            if n0 % ndev == 0 and n0 >= ndev * min_rows_per_shard:
+            ok = all(
+                shape[ax] % self.ndev[nm] == 0
+                and shape[ax] >= self.ndev[nm] * min_rows_per_shard
+                for ax, nm in self.parts
+            )
+            if ok:
                 self.seam = l + 1
             else:
                 break
         if self.seam == 0:
             raise ValueError(
-                f"finest level {hierarchy.shapes[0]} cannot be sharded over "
-                f"{ndev} devices (axis-0 extent must divide and give >= "
-                f"{min_rows_per_shard} rows/shard)"
+                f"finest level {hierarchy.shapes[0]} cannot be partitioned "
+                f"over mesh axes {dict(self.ndev)} (each partitioned extent "
+                f"must divide its mesh axis with >= {min_rows_per_shard} "
+                "rows/shard)"
             )
 
-        # Transfer operators.  For sharded->sharded pairs, axis-0 becomes
-        # per-shard blocks; other axes keep full matrices.
-        self._restrict_z: List[Optional[Tuple[np.ndarray, int]]] = []
-        self._interp_z: List[Optional[Tuple[np.ndarray, int]]] = []
-        self._restrict_rest: List[List[np.ndarray]] = []
-        self._interp_rest: List[List[np.ndarray]] = []
+        # Transfer operators: per-shard blocks for partitioned axes on
+        # sharded->sharded pairs; full per-axis matrices otherwise.
+        self._blocks_R: List[Optional[Dict[int, Tuple[np.ndarray, int]]]] = []
+        self._blocks_P: List[Optional[Dict[int, Tuple[np.ndarray, int]]]] = []
         self._restrict_full: List[List[np.ndarray]] = []
         self._interp_full: List[List[np.ndarray]] = []
         for l in range(hierarchy.ngrids - 1):
@@ -158,16 +170,22 @@ class ShardedPoissonBVP:
             P_axes = [interp_matrix_1d(f, c) for f, c in zip(fine, coarse)]
             self._restrict_full.append(R_axes)
             self._interp_full.append(P_axes)
-            if l + 1 < self.seam:  # sharded -> sharded
-                Rb, RH, _ = _axis0_blocks(R_axes[0], ndev)
-                Pb, PH, _ = _axis0_blocks(P_axes[0], ndev)
-                self._restrict_z.append((Rb, RH))
-                self._interp_z.append((Pb, PH))
+            if l + 1 < self.seam:
+                self._blocks_R.append(
+                    {
+                        ax: _axis_blocks(R_axes[ax], self.ndev[nm])
+                        for ax, nm in self.parts
+                    }
+                )
+                self._blocks_P.append(
+                    {
+                        ax: _axis_blocks(P_axes[ax], self.ndev[nm])
+                        for ax, nm in self.parts
+                    }
+                )
             else:
-                self._restrict_z.append(None)
-                self._interp_z.append(None)
-            self._restrict_rest.append(R_axes[1:])
-            self._interp_rest.append(P_axes[1:])
+                self._blocks_R.append(None)
+                self._blocks_P.append(None)
 
         # Replicated coarse direct solver
         cs = getattr(options, "coarse_solver", "auto")
@@ -182,7 +200,10 @@ class ShardedPoissonBVP:
             self._coarse_rows = np.flatnonzero(int_mask)
 
         self._dq = [np.asarray(d, dtype=np.float64) for d in hierarchy.dq]
-        spec = P(axis_name, *([None] * (hierarchy.ndim - 1)))
+        partsvec: List[Optional[str]] = [None] * hierarchy.ndim
+        for ax, nm in self.parts:
+            partsvec[ax] = nm
+        spec = P(*partsvec)
         self.sharding = NamedSharding(mesh, spec)
         self._solve_jit = jax.jit(
             shard_map(
@@ -194,64 +215,109 @@ class ShardedPoissonBVP:
         )
 
     # ------------------------------------------------------------------
-    # Local (per-shard) building blocks.  `u` is the shard's axis-0 block
-    # for sharded levels, the full array for replicated levels.
+    # Per-shard helpers.  Arrays are local blocks on sharded levels and
+    # full arrays on replicated ones.
     # ------------------------------------------------------------------
 
     def _vary(self, x):
-        """Mark a locally-created array as varying over the mesh axis
+        """Mark a locally-created array as varying over the mesh axes
         (shard_map's varying-manual-axes type system)."""
         try:
-            return lax.pcast(x, (self.axis_name,), to="varying")
+            return lax.pcast(x, self.names, to="varying")
         except (AttributeError, TypeError):
             return x
 
-    def _g0(self, shape, level):
-        """Global axis-0 index array for a local block at a sharded level."""
-        blk = self.h.shapes[level][0] // self.ndev
-        i = lax.axis_index(self.axis_name)
-        return (i * blk + lax.broadcasted_iota(jnp.int32, shape, 0)).astype(
+    def _is_part(self, ax: int) -> bool:
+        return ax < len(self.names)
+
+    def _g(self, shape, level, ax):
+        """Global index array along partitioned axis ``ax`` for a local
+        block at a sharded level."""
+        nm = self.names[ax]
+        blk = self.h.shapes[level][ax] // self.ndev[nm]
+        i = lax.axis_index(nm)
+        return (i * blk + lax.broadcasted_iota(jnp.int32, shape, ax)).astype(
             jnp.int32
         )
 
-    def _sharded_masks(self, shape, level, g):
-        n0 = self.h.shapes[level][0]
+    def _exchange_planes(self, v, ax: int, depth: int = 1):
+        """(from_prev, from_next) neighbor planes of depth ``depth`` along
+        partitioned axis ``ax`` (zeros beyond the chain ends)."""
+        nm = self.names[ax]
+        nd = self.ndev[nm]
+        from_prev = lax.ppermute(
+            _plane(v, ax, -depth, v.shape[ax]),
+            nm,
+            [(j, j + 1) for j in range(nd - 1)],
+        )
+        from_next = lax.ppermute(
+            _plane(v, ax, 0, depth), nm, [(j + 1, j) for j in range(nd - 1)]
+        )
+        return from_prev, from_next
+
+    def _lead_pair(self, v, ax: int, level: int):
+        """(lower, upper) neighbor arrays along leading axis ``ax`` with
+        Neumann index reflection at the GLOBAL ends; partitioned axes pull
+        the boundary planes from neighbor shards."""
+        if not self._is_part(ax):
+            return stencils._neighbors(v, ax)
+        n_glob = self.h.shapes[level][ax]
+        from_prev, from_next = self._exchange_planes(v, ax)
+        g_first = self._g(_plane(v, ax, 0, 1).shape, level, ax)
+        g_last = self._g(v.shape, level, ax)
+        g_last = _plane(g_last, ax, -1, g_last.shape[ax])
+        first = jnp.where(g_first == 0, _plane(v, ax, 1, 2), from_prev)
+        last = jnp.where(g_last == n_glob - 1, _plane(v, ax, -2, -1), from_next)
+        lo = jnp.concatenate([first, _plane(v, ax, 0, -1)], axis=ax)
+        hi = jnp.concatenate([_plane(v, ax, 1, v.shape[ax]), last], axis=ax)
+        return lo, hi
+
+    def _sharded_masks(self, shape, level):
+        """Non-Dirichlet mask with global index tests on partitioned axes."""
         mask = None
-        if self.bcs[0][0] == "D":
-            m = g > 0
-            mask = m
-        if self.bcs[0][1] == "D":
-            m = g < n0 - 1
+
+        def add(m):
+            nonlocal mask
             mask = m if mask is None else mask & m
-        for ax in range(1, len(shape)):
-            idx = lax.broadcasted_iota(jnp.int32, shape, ax)
-            if self.bcs[ax][0] == "D":
-                m = idx > 0
-                mask = m if mask is None else mask & m
-            if self.bcs[ax][1] == "D":
-                m = idx < shape[ax] - 1
-                mask = m if mask is None else mask & m
+
+        for ax in range(len(shape)):
+            n_glob = self.h.shapes[level][ax]
+            if self._is_part(ax):
+                g = self._g(shape, level, ax)
+                if self.bcs[ax][0] == "D":
+                    add(g > 0)
+                if self.bcs[ax][1] == "D":
+                    add(g < n_glob - 1)
+            else:
+                idx = lax.broadcasted_iota(jnp.int32, shape, ax)
+                if self.bcs[ax][0] == "D":
+                    add(idx > 0)
+                if self.bcs[ax][1] == "D":
+                    add(idx < shape[ax] - 1)
         return mask
 
-    def _sharded_half(self, u, rhs, level, parity, w, w0, g, interior):
-        ndev, ax = self.ndev, self.axis_name
-        from_prev = lax.ppermute(
-            u[-1:], ax, [(j, j + 1) for j in range(ndev - 1)]
-        )
-        from_next = lax.ppermute(u[:1], ax, [(j + 1, j) for j in range(ndev - 1)])
-        lo0 = jnp.concatenate([from_prev, u[:-1]], axis=0)
-        hi0 = jnp.concatenate([u[1:], from_next], axis=0)
-        n0 = self.h.shapes[level][0]
-        lo = jnp.where(g == 0, hi0, lo0)
-        hi = jnp.where(g == n0 - 1, lo0, hi0)
-        total = (lo + hi) * w[0]
-        for a in range(1, u.ndim):
-            la, ha = stencils._neighbors(u, a)
-            total = total + (la + ha) * w[a]
+    def _global_parity_sum(self, shape, level, upto_axis: int):
+        """Sum of global indices over leading axes [0, upto_axis)."""
+        s = None
+        for ax in range(upto_axis):
+            it = (
+                self._g(shape, level, ax)
+                if self._is_part(ax)
+                else lax.broadcasted_iota(jnp.int32, shape, ax)
+            )
+            s = it if s is None else s + it
+        return s
+
+    # -- masked sweep / residual ---------------------------------------
+
+    def _sharded_half(self, u, rhs, level, parity, w, w0, interior):
+        total = None
+        for ax in range(u.ndim):
+            lo, hi = self._lead_pair(u, ax, level)
+            term = (lo + hi) * w[ax]
+            total = term if total is None else total + term
         unew = (total - rhs) * w0
-        psum_axes = g
-        for a in range(1, u.ndim):
-            psum_axes = psum_axes + lax.broadcasted_iota(jnp.int32, u.shape, a)
+        psum_axes = self._global_parity_sum(u.shape, level, u.ndim)
         mask = lax.rem(psum_axes, jnp.int32(2)) == parity
         if interior is not None:
             mask = mask & interior
@@ -259,14 +325,13 @@ class ShardedPoissonBVP:
 
     def _sharded_sweep(self, u, rhs, level):
         w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
-        g = self._g0(u.shape, level)
-        interior = self._sharded_masks(u.shape, level, g)
+        interior = self._sharded_masks(u.shape, level)
         red = stencils.first_color_parity(self.bcs)
-        u = self._sharded_half(u, rhs, level, red, w, w0, g, interior)
-        u = self._sharded_half(u, rhs, level, 1 - red, w, w0, g, interior)
+        u = self._sharded_half(u, rhs, level, red, w, w0, interior)
+        u = self._sharded_half(u, rhs, level, 1 - red, w, w0, interior)
         if stencils.is_all_neumann(self.bcs):
             total = float(np.prod(self.h.shapes[level]))
-            mean = lax.psum(jnp.sum(u), self.axis_name) / jnp.asarray(
+            mean = lax.psum(jnp.sum(u), self.names) / jnp.asarray(
                 total, u.dtype
             )
             u = u - mean
@@ -274,95 +339,59 @@ class ShardedPoissonBVP:
 
     def _sharded_residual(self, u, rhs, level):
         w, _ = stencils.stencil_weights(self._dq[level], u.dtype)
-        g = self._g0(u.shape, level)
-        interior = self._sharded_masks(u.shape, level, g)
-        ndev, ax = self.ndev, self.axis_name
-        from_prev = lax.ppermute(
-            u[-1:], ax, [(j, j + 1) for j in range(ndev - 1)]
-        )
-        from_next = lax.ppermute(u[:1], ax, [(j + 1, j) for j in range(ndev - 1)])
-        lo0 = jnp.concatenate([from_prev, u[:-1]], axis=0)
-        hi0 = jnp.concatenate([u[1:], from_next], axis=0)
-        n0 = self.h.shapes[level][0]
-        lo = jnp.where(g == 0, hi0, lo0)
-        hi = jnp.where(g == n0 - 1, lo0, hi0)
-        lap = (lo - 2.0 * u + hi) * w[0]
-        for a in range(1, u.ndim):
-            la, ha = stencils._neighbors(u, a)
-            lap = lap + (la - 2.0 * u + ha) * w[a]
+        interior = self._sharded_masks(u.shape, level)
+        lap = None
+        for ax in range(u.ndim):
+            lo, hi = self._lead_pair(u, ax, level)
+            term = (lo - 2.0 * u + hi) * w[ax]
+            lap = term if lap is None else lap + term
         r = rhs - lap
         if interior is not None:
             r = jnp.where(interior, r, jnp.zeros((), u.dtype))
         return r
 
-    # -- color-compact sharded smoothing (half the HBM traffic/sweep) ----
+    # -- color-compact sharded smoothing -------------------------------
 
     def _rowpar(self, shape_half_lead, level):
-        """Global (sum of leading indices) parity for a local block,
-        shaped (…lead, 1)."""
-        blk = self.h.shapes[level][0] // self.ndev
-        i = lax.axis_index(self.axis_name)
+        """Global row parity (sum of GLOBAL leading indices) shaped
+        (…lead, 1)."""
         full = tuple(shape_half_lead) + (1,)
-        s = i * blk + lax.broadcasted_iota(jnp.int32, full, 0)
-        for ax in range(1, len(shape_half_lead)):
-            s = s + lax.broadcasted_iota(jnp.int32, full, ax)
+        s = self._global_parity_sum(full, level, len(shape_half_lead))
         return lax.rem(s, jnp.int32(2))
 
     def _compact_half_sharded(self, own, opp, rhs_own, own_par, level, w, w0):
-        """One color's Gauss-Seidel update on sharded compact state: the
-        axis-0 neighbors (same half-index k, opposite color) come from
-        the z-neighbor shards via ppermute; everything else is local.
-
-        The axis-0 stencil term is computed in three sections — interior
-        rows depend only on local data, the two boundary rows on the
-        exchanged planes — so the XLA scheduler can overlap the (async)
-        collective-permute with the interior computation.
-        """
-        from ..ops import stencils_compact as sc
-
-        ndev, axn = self.ndev, self.axis_name
-        n0 = self.h.shapes[level][0]
+        """One color's update on sharded compact state: leading-axis
+        neighbors (same half-index k, opposite color) come from neighbor
+        shards; the split axis uses clamp-shifts with row-parity select."""
         nx = self.h.shapes[level][-1]
-        blk = own.shape[0]
-        # issue exchanges first
-        from_prev = lax.ppermute(
-            opp[-1:], axn, [(j, j + 1) for j in range(ndev - 1)]
-        )
-        from_next = lax.ppermute(
-            opp[:1], axn, [(j + 1, j) for j in range(ndev - 1)]
-        )
-        g = self._g0(own.shape, level)
-        # interior rows 1..blk-2: purely local (their global index can be
-        # neither 0 nor n0-1, so no reflection select is needed)
-        z_int = (opp[:-2] + opp[2:]) * w[0]
-        # boundary rows: reflection at the global ends, remote plane else
-        lo_top = jnp.where(g[:1] == 0, opp[1:2], from_prev)
-        z_top = (lo_top + opp[1:2]) * w[0]
-        hi_bot = jnp.where(g[-1:] == n0 - 1, opp[-2:-1], from_next)
-        z_bot = (opp[-2:-1] + hi_bot) * w[0]
-        total = jnp.concatenate([z_top, z_int, z_bot], axis=0)
-        for a in range(1, own.ndim - 1):
-            la, ha = stencils._neighbors(opp, a)
-            total = total + (la + ha) * w[a]
+        total = None
+        for ax in range(own.ndim - 1):
+            lo, hi = self._lead_pair(opp, ax, level)
+            term = (lo + hi) * w[ax]
+            total = term if total is None else total + term
         km1 = sc._shift_clamp(opp, own.ndim - 1, -1)
         kp1 = sc._shift_clamp(opp, own.ndim - 1, +1)
         nbx = jnp.where(own_par == 0, km1 + opp, opp + kp1)
         total = total + nbx * w[own.ndim - 1]
         unew = (total - rhs_own) * w0
-        # update mask: ghost + Dirichlet faces (global z, local middle, gx)
+        # update mask: ghost + Dirichlet faces
         kk = lax.broadcasted_iota(jnp.int32, own.shape, own.ndim - 1)
         gx = 2 * kk + own_par
         mask = gx < nx
-        if self.bcs[0][0] == "D":
-            mask = mask & (g > 0)
-        if self.bcs[0][1] == "D":
-            mask = mask & (g < n0 - 1)
-        for a in range(1, own.ndim - 1):
-            idx = lax.broadcasted_iota(jnp.int32, own.shape, a)
-            if self.bcs[a][0] == "D":
-                mask = mask & (idx > 0)
-            if self.bcs[a][1] == "D":
-                mask = mask & (idx < own.shape[a] - 1)
+        for ax in range(own.ndim - 1):
+            n_glob = self.h.shapes[level][ax]
+            if self._is_part(ax):
+                g = self._g(own.shape, level, ax)
+                if self.bcs[ax][0] == "D":
+                    mask = mask & (g > 0)
+                if self.bcs[ax][1] == "D":
+                    mask = mask & (g < n_glob - 1)
+            else:
+                idx = lax.broadcasted_iota(jnp.int32, own.shape, ax)
+                if self.bcs[ax][0] == "D":
+                    mask = mask & (idx > 0)
+                if self.bcs[ax][1] == "D":
+                    mask = mask & (idx < own.shape[ax] - 1)
         if self.bcs[-1][0] == "D":
             mask = mask & (gx > 0)
         if self.bcs[-1][1] == "D":
@@ -371,8 +400,6 @@ class ShardedPoissonBVP:
         return sc._ghost_fix(own, own_par, nx)
 
     def _sharded_smooth_compact(self, u, rhs, level, n):
-        from ..ops import stencils_compact as sc
-
         nx = self.h.shapes[level][-1]
         w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
         rowpar = self._rowpar(u.shape[:-1], level)
@@ -399,7 +426,7 @@ class ShardedPoissonBVP:
                     s = jnp.sum(jnp.where(2 * kk + par_R < nx, R, 0)) + jnp.sum(
                         jnp.where(2 * kk + par_B < nx, B, 0)
                     )
-                mean = lax.psum(s, self.axis_name) / jnp.asarray(
+                mean = lax.psum(s, self.names) / jnp.asarray(
                     total_pts, R.dtype
                 )
                 R, B = R - mean, B - mean
@@ -419,53 +446,79 @@ class ShardedPoissonBVP:
             )
         return lax.fori_loop(0, n, body, u)
 
-    def _restrict(self, r, level):
-        """Level -> level+1.  Sharded->sharded uses per-shard axis-0
-        blocks; the seam all-gathers the fine residual first."""
-        if level + 1 < self.seam:
-            Rb, H = self._restrict_z[level]
-            i = lax.axis_index(self.axis_name)
-            blk = jnp.asarray(Rb, dtype=r.dtype)[i]
-            ext = _exchange_halo(r, H, self.axis_name, self.ndev)
+    # -- transfers ------------------------------------------------------
+
+    def _exchange_halo(self, v, ax: int, H: int):
+        if H == 0:
+            return v
+        from_prev, from_next = self._exchange_planes(v, ax, depth=H)
+        return jnp.concatenate([from_prev, v, from_next], axis=ax)
+
+    def _apply_blocks(self, x, blocks: Dict[int, Tuple[np.ndarray, int]]):
+        """Contract every partitioned axis with its per-shard block (over
+        an H-plane halo), then every remaining axis with its full matrix."""
+        for ax, nm in self.parts:
+            Mb, H = blocks[ax]
+            blk = jnp.asarray(Mb, dtype=x.dtype)[lax.axis_index(nm)]
+            ext = self._exchange_halo(x, ax, H)
+            ext = jnp.moveaxis(ext, ax, 0)
             out = jnp.tensordot(
                 blk, ext, axes=([1], [0]), precision=lax.Precision.HIGHEST
             )
-            return apply_axis_matrices_rest(out, self._restrict_rest[level])
-        # seam or replicated source
+            x = jnp.moveaxis(out, 0, ax)
+        return x
+
+    def _apply_full_rest(self, x, mats: Sequence[np.ndarray]):
+        """Apply full per-axis matrices to the non-partitioned axes."""
+        for ax in range(len(self.names), x.ndim):
+            mj = jnp.asarray(mats[ax], dtype=x.dtype)
+            x = jnp.moveaxis(x, ax, 0)
+            x = jnp.tensordot(
+                mj, x, axes=([1], [0]), precision=lax.Precision.HIGHEST
+            )
+            x = jnp.moveaxis(x, 0, ax)
+        return x
+
+    def _gather_all(self, v):
+        for ax, nm in self.parts:
+            v = lax.all_gather(v, nm, axis=ax, tiled=True)
+        return v
+
+    def _restrict(self, r, level):
+        """Level -> level+1.  Sharded->sharded uses per-shard blocks; the
+        seam all-gathers the fine residual first."""
+        if level + 1 < self.seam:
+            r = self._apply_blocks(r, self._blocks_R[level])
+            return self._apply_full_rest(r, self._restrict_full[level])
         if level < self.seam:  # sharded fine -> replicated coarse
-            r_full = _allgather0(r, self.axis_name)
-        else:
-            r_full = r
-        return apply_axis_matrices(r_full, self._restrict_full[level])
+            r = self._gather_all(r)
+        return apply_axis_matrices(r, self._restrict_full[level])
 
     def _prolong(self, u_c, level):
         """Level+1 -> level."""
         if level + 1 < self.seam:
-            Pb, H = self._interp_z[level]
-            i = lax.axis_index(self.axis_name)
-            blk = jnp.asarray(Pb, dtype=u_c.dtype)[i]
-            ext = _exchange_halo(u_c, H, self.axis_name, self.ndev)
-            out = jnp.tensordot(
-                blk, ext, axes=([1], [0]), precision=lax.Precision.HIGHEST
-            )
-            return apply_axis_matrices_rest(out, self._interp_rest[level])
+            u = self._apply_blocks(u_c, self._blocks_P[level])
+            return self._apply_full_rest(u, self._interp_full[level])
+        full = apply_axis_matrices(u_c, self._interp_full[level])
         if level < self.seam:  # replicated coarse -> sharded fine
-            full = apply_axis_matrices(u_c, self._interp_full[level])
-            blk = self.h.shapes[level][0] // self.ndev
-            i = lax.axis_index(self.axis_name)
-            return lax.dynamic_slice_in_dim(full, i * blk, blk, axis=0)
-        return apply_axis_matrices(u_c, self._interp_full[level])
+            for ax, nm in self.parts:
+                blk = self.h.shapes[level][ax] // self.ndev[nm]
+                full = lax.dynamic_slice_in_dim(
+                    full, lax.axis_index(nm) * blk, blk, axis=ax
+                )
+        return full
+
+    # -- metrics / coarse solve ----------------------------------------
 
     def _metric(self, a, b, level):
         du = jnp.abs(a - b)
+        n = float(np.prod(self.h.shapes[level]))
         if level < self.seam:
-            dmax = lax.pmax(jnp.max(du), self.axis_name)
-            dsum = lax.psum(jnp.sum(du), self.axis_name)
-            n = float(np.prod(self.h.shapes[level]))
+            dmax = lax.pmax(jnp.max(du), self.names)
+            dsum = lax.psum(jnp.sum(du), self.names)
         else:
             dmax = jnp.max(du)
             dsum = jnp.sum(du)
-            n = float(np.prod(self.h.shapes[level]))
         return dmax if self.options.du_max else dsum / jnp.asarray(n, a.dtype)
 
     def _coarse_solve(self, rhs, ex_tol, nmax_exact):
@@ -490,12 +543,17 @@ class ShardedPoissonBVP:
 
         big = jnp.asarray(jnp.finfo(rhs.dtype).max, rhs.dtype)
         u0 = jnp.zeros_like(rhs)
-        u, _, _, _ = lax.while_loop(
-            cond, body, (u0, u0, big, jnp.int32(0))
-        )
+        u, _, _, _ = lax.while_loop(cond, body, (u0, u0, big, jnp.int32(0)))
         return u
 
     # ------------------------------------------------------------------
+
+    def _local_shape(self, level):
+        shape = list(self.h.shapes[level])
+        if level < self.seam:
+            for ax, nm in self.parts:
+                shape[ax] //= self.ndev[nm]
+        return tuple(shape)
 
     def _vcycle(self, u, rhs, ex_tol, nmax_exact):
         L = self.h.ngrids
@@ -513,10 +571,9 @@ class ShardedPoissonBVP:
             )
             rhss[l + 1] = self._restrict(r, l)
             us[l] = ul
-            shape_c = list(self.h.shapes[l + 1])
-            if l + 1 < self.seam:
-                shape_c[0] //= self.ndev
-            us[l + 1] = self._vary(jnp.zeros(tuple(shape_c), dtype=dtype))
+            us[l + 1] = self._vary(
+                jnp.zeros(self._local_shape(l + 1), dtype=dtype)
+            )
         us[L - 1] = self._coarse_solve(rhss[L - 1], ex_tol, nmax_exact)
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
@@ -528,7 +585,7 @@ class ShardedPoissonBVP:
         """f64 defect correction around an f32 V-cycle (the sharded
         analogue of PoissonBVP's mixed mode; see mg/poisson.py)."""
         r0 = self._sharded_residual(u, rhs, 0)
-        s = lax.pmax(jnp.max(jnp.abs(r0)), self.axis_name)
+        s = lax.pmax(jnp.max(jnp.abs(r0)), self.names)
         s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
         r32 = (r0 / s_safe).astype(jnp.float32)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
@@ -540,7 +597,7 @@ class ShardedPoissonBVP:
         u_new = u + e
         if stencils.is_all_neumann(self.bcs):
             total = float(np.prod(self.h.shapes[0]))
-            mean = lax.psum(jnp.sum(u_new), self.axis_name) / jnp.asarray(
+            mean = lax.psum(jnp.sum(u_new), self.names) / jnp.asarray(
                 total, u_new.dtype
             )
             u_new = u_new - mean
@@ -586,19 +643,3 @@ class ShardedPoissonBVP:
         return u, SolveInfo(
             ierr=int(ierr), du_last=float(du), cycles=int(it), name=name
         )
-
-
-def _allgather0(v: jax.Array, axis_name: str) -> jax.Array:
-    """All-gather local axis-0 blocks into the full (replicated) array."""
-    return lax.all_gather(v, axis_name, axis=0, tiled=True)
-
-
-def apply_axis_matrices_rest(x: jax.Array, mats: Sequence[np.ndarray]) -> jax.Array:
-    """Apply per-axis matrices to axes 1..n (axis 0 already handled)."""
-    for k, m in enumerate(mats):
-        ax = k + 1
-        mj = jnp.asarray(m, dtype=x.dtype)
-        x = jnp.moveaxis(x, ax, 0)
-        x = jnp.tensordot(mj, x, axes=([1], [0]), precision=lax.Precision.HIGHEST)
-        x = jnp.moveaxis(x, 0, ax)
-    return x

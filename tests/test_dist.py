@@ -318,3 +318,39 @@ class TestShardMapEngine:
         np.testing.assert_allclose(
             np.asarray(u_c), np.asarray(u_m), rtol=0, atol=1e-11
         )
+
+    def test_two_axis_explicit_engine(self):
+        """(z, y) two-axis decomposition over a 4x2 mesh in the explicit
+        shard_map engine, fp64 and mixed, vs single-device."""
+        from ndsm_tpu.parallel.shard import make_mesh_nd
+        from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+        n = 32
+        bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+        x, U, rhs = self._problem(n, bcs)
+        h = GridHierarchy.from_mesh((x, x, x))
+        mesh = make_mesh_nd((4, 2), ("z", "y"))
+        u_ref, info_ref = PoissonBVP(
+            h, bcs, Options(precision="fp64")
+        ).solve(np.zeros_like(U), rhs)
+        sbvp = ShardedPoissonBVP(
+            h, bcs, Options(precision="fp64"), mesh=mesh,
+            axis_names=("z", "y"), min_rows_per_shard=2,
+        )
+        assert sbvp.seam >= 2
+        u_sm, info = sbvp.solve(np.zeros_like(U), rhs)
+        assert info.ierr == 0
+        assert info.cycles == info_ref.cycles
+        np.testing.assert_allclose(
+            np.asarray(u_sm), np.asarray(u_ref), rtol=0, atol=1e-11
+        )
+        # mixed precision on the 2-axis mesh
+        sbvp_m = ShardedPoissonBVP(
+            h, bcs, Options(precision="mixed"), mesh=mesh,
+            axis_names=("z", "y"), min_rows_per_shard=2,
+        )
+        u_mx, info_mx = sbvp_m.solve(np.zeros_like(U), rhs)
+        assert info_mx.ierr == 0
+        np.testing.assert_allclose(
+            np.asarray(u_mx), np.asarray(u_ref), rtol=0, atol=5e-11
+        )
