@@ -35,6 +35,7 @@ def vector_potential(
     precision: str = "auto",
     options: Optional[Options] = None,
     full_output: bool = False,
+    dist=None,
 ):
     """Compute the potential magnetic field and Coulomb-gauge vector
     potential from boundary Bn.
@@ -53,6 +54,10 @@ def vector_potential(
       precision: "auto" | "fp64" | "mixed" | "fp32" (see Options).
       options: full Options override (takes precedence over the above).
       full_output: also return the diagnostics record.
+      dist: optional ndsm_tpu.parallel.shard.DistConfig — run every
+        sub-solve on the explicit shard_map engine over a device mesh
+        (spatial domain decomposition; sub-problems whose shapes cannot
+        be partitioned fall back to single-device).
 
     Returns:
       (ierr, A, B) with A, B numpy float64 arrays of shape (3, nz, ny, nx);
@@ -73,7 +78,7 @@ def vector_potential(
         )
 
     b = np.asarray(b)
-    ierr, A, B, info = compute_vector_potential((x, y, z), b, options)
+    ierr, A, B, info = compute_vector_potential((x, y, z), b, options, dist=dist)
     A = np.asarray(A)
     B = np.asarray(B)
     if full_output:

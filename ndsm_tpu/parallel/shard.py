@@ -30,7 +30,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ShardSpec", "make_mesh", "make_mesh_nd"]
+__all__ = ["ShardSpec", "DistConfig", "make_mesh", "make_mesh_nd"]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "z") -> Mesh:
@@ -47,6 +47,28 @@ def make_mesh_nd(shape: Sequence[int], axis_names: Sequence[str] = ("z", "y")) -
     n = int(np.prod(shape))
     devs = np.array(jax.devices()[:n]).reshape(shape)
     return Mesh(devs, tuple(axis_names))
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    """Distribution request for the high-level pipelines: run every
+    sub-solve on the explicit shard_map engine over ``mesh`` with the
+    leading array axes partitioned per ``axis_names`` (sub-problems whose
+    shapes cannot be partitioned fall back to the single-device path)."""
+
+    mesh: Mesh
+    axis_names: Tuple[str, ...] = ("z",)
+    min_rows_per_shard: int = 4
+
+    def __hash__(self):
+        return hash(
+            (
+                tuple(self.mesh.devices.flat),
+                self.mesh.axis_names,
+                self.axis_names,
+                self.min_rows_per_shard,
+            )
+        )
 
 
 @dataclasses.dataclass(frozen=True)

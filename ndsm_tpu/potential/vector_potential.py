@@ -63,10 +63,39 @@ def _central_diff_zero_edges(c: jax.Array, h: float, axis: int) -> jax.Array:
     return jnp.concatenate([z, interior, z], axis=axis)
 
 
+def _dist_bvp(hierarchy, bcs, options, dist):
+    """ShardedPoissonBVP for this sub-problem, or None if its shapes
+    cannot be partitioned over the requested mesh (caller falls back to
+    the single-device path)."""
+    from ..parallel.sm_engine import ShardedPoissonBVP
+
+    key = (hierarchy, tuple(tuple(x) for x in bcs), dist)
+    cached = _DIST_BVP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    try:
+        bvp = ShardedPoissonBVP(
+            hierarchy,
+            bcs,
+            options,
+            mesh=dist.mesh,
+            axis_names=dist.axis_names[: hierarchy.ndim - 1],
+            min_rows_per_shard=dist.min_rows_per_shard,
+        )
+    except ValueError:
+        bvp = None
+    _DIST_BVP_CACHE[key] = bvp
+    return bvp
+
+
+_DIST_BVP_CACHE: dict = {}
+
+
 def compute_vector_potential(
     meshes: Sequence[np.ndarray],
     b,
     options: Options = Options(),
+    dist=None,
 ) -> Tuple[int, jax.Array, jax.Array, VectorPotentialInfo]:
     """Compute (ierr, A, B, info) from boundary Bn.
 
@@ -140,9 +169,24 @@ def compute_vector_potential(
         hierarchy = GridHierarchy.from_mesh((mesh_xyz[d2], mesh_xyz[d1]))
         groups.setdefault(hierarchy, []).append(f)
     for hierarchy, faces_in_group in groups.items():
-        bvp = get_poisson_bvp(hierarchy, (("N", "N"), ("N", "N")), options)
         rhss = [chi_rhs[f] for f in faces_in_group]
         u0s = [jnp.zeros_like(r) for r in rhss]
+        sbvp = (
+            _dist_bvp(hierarchy, (("N", "N"), ("N", "N")), options, dist)
+            if dist is not None
+            else None
+        )
+        if sbvp is not None:
+            us, infos = [], []
+            for u0, r, f in zip(u0s, rhss, faces_in_group):
+                u, info = sbvp.solve(u0, r, name=f"chi_face{f}")
+                us.append(u)
+                infos.append(info)
+            for k, f in enumerate(faces_in_group):
+                chi[f] = us[k]
+                chi_info[f] = infos[k]
+            continue
+        bvp = get_poisson_bvp(hierarchy, (("N", "N"), ("N", "N")), options)
         us, infos = bvp.solve_batch(
             u0s,
             rhss,
@@ -202,18 +246,26 @@ def compute_vector_potential(
             opts = options if ms == options.ms else __import__(
                 "dataclasses"
             ).replace(options, ms=ms)
-            bvp = get_poisson_bvp(hierarchy, bcs, opts)
-            u, info = bvp.solve(
-                u0,
-                None,
-                vc_tol=options.vc_tol,
-                ex_tol=options.ex_tol,
-                ncycles_max=options.ncycles_max,
-                niterex_max=options.niterex_max,
-                name=f"A{'xyz'[comp]}"
-                + ("" if active_face is None else f"_face{active_face}"),
-                zero_rhs=True,
+            nm = f"A{'xyz'[comp]}" + (
+                "" if active_face is None else f"_face{active_face}"
             )
+            sbvp = (
+                _dist_bvp(hierarchy, bcs, opts, dist) if dist is not None else None
+            )
+            if sbvp is not None:
+                u, info = sbvp.solve(u0, jnp.zeros_like(u0), name=nm)
+            else:
+                bvp = get_poisson_bvp(hierarchy, bcs, opts)
+                u, info = bvp.solve(
+                    u0,
+                    None,
+                    vc_tol=options.vc_tol,
+                    ex_tol=options.ex_tol,
+                    ncycles_max=options.ncycles_max,
+                    niterex_max=options.niterex_max,
+                    name=nm,
+                    zero_rhs=True,
+                )
             comp_info.append(info)
             # Early downcast when float32 outputs are requested: frees the
             # f64 solution before the next component solves (the output

@@ -354,3 +354,23 @@ class TestShardMapEngine:
         np.testing.assert_allclose(
             np.asarray(u_mx), np.asarray(u_ref), rtol=0, atol=5e-11
         )
+
+
+def test_distributed_vector_potential():
+    """The full vector-potential pipeline on the explicit shard_map
+    engine matches the single-device pipeline."""
+    from ndsm_tpu import vector_potential
+    from ndsm_tpu.parallel.shard import DistConfig
+    from ndsm_tpu.utils.testing import potential_field_case
+
+    n = 16
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    _, b1 = potential_field_case(X, Y, Z)
+    opts = Options(precision="fp64")
+    i_ref, A_ref, B_ref = vector_potential(x, x, x, b1.copy(), options=opts)
+    dist = DistConfig(mesh=make_mesh(4), axis_names=("z",), min_rows_per_shard=2)
+    i_d, A_d, B_d = vector_potential(x, x, x, b1.copy(), options=opts, dist=dist)
+    assert i_d == 0 and i_ref == 0
+    np.testing.assert_allclose(A_d, A_ref, rtol=0, atol=1e-8)
+    np.testing.assert_allclose(B_d, B_ref, rtol=0, atol=1e-7)
