@@ -123,6 +123,7 @@ class PoissonBVP:
         # upload for the common rhs == 0 solves).
         self._solve_jit_donate = jax.jit(self._solve_impl, donate_argnums=(0,))
         self._solve_zero_rhs_jit = jax.jit(self._solve_impl_zero_rhs, donate_argnums=(0,))
+        self._solve_hist_jit = jax.jit(self._solve_hist_impl, static_argnums=(6,))
         self._solve_batch_jit = None
         self._vcycle_jit = jax.jit(self._inner.t_vcycle)
         self._two_grid_jit = jax.jit(self._inner.t_two_grid)
@@ -192,6 +193,38 @@ class PoissonBVP:
         )
         ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         return u, du, it, ierr
+
+    def _solve_hist_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, hist_len):
+        """``_solve_impl`` plus a per-cycle du trace in a fixed-size buffer
+        (the reference's debug-mode per-cycle "Solution delta" output,
+        ndsm_poisson.f90:129-135, as a first-class return — usable even on
+        platforms without host callbacks).  ``hist_len`` is static; cycles
+        are capped at min(nmax, hist_len).  The iterate sequence is
+        identical to ``_solve_impl``."""
+        cycle = (
+            self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
+        )
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
+        vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
+        nmax = jnp.minimum(nmax, jnp.int32(hist_len))
+
+        def cond(c):
+            _, du, it, _ = c
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def body(c):
+            u, _, it, hist = c
+            u_new = cycle(u, rhs, ex_tol, nmax_exact)
+            du = self._outer.t_metric(u_new, u)
+            hist = hist.at[it].set(du)
+            return (u_new, du, it + 1, hist)
+
+        hist0 = jnp.full((hist_len,), jnp.nan, dtype=self.outer_dtype)
+        init = (u0, big, jnp.asarray(0, dtype=jnp.int32), hist0)
+        u, du, it, hist = lax.while_loop(cond, body, init)
+        converged = du < vc_tol
+        ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
+        return u, du, it, ierr, hist
 
     def _solve_batch_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         """Lane-masked batched variant of ``_solve_impl``: solves B
@@ -318,6 +351,7 @@ class PoissonBVP:
         name: str = "",
         donate: bool = False,
         zero_rhs: bool = False,
+        history: bool = False,
     ) -> Tuple[jax.Array, SolveInfo]:
         """Solve ``laplace(u) = rhs`` starting from ``u0`` (which also
         carries inhomogeneous Dirichlet data on "D" faces — those values
@@ -326,7 +360,10 @@ class PoissonBVP:
         Returns (u, SolveInfo).  Tolerances default to the handle options.
         ``donate=True`` invalidates the caller's u0 buffer (memory-tight
         large solves); ``zero_rhs=True`` ignores ``rhs`` and materializes
-        a zero right-hand side inside the program.
+        a zero right-hand side inside the program; ``history=True``
+        additionally records the per-cycle du trace in
+        ``SolveInfo.du_history`` (the reference's debug-mode per-cycle
+        "Solution delta" lines, ndsm_poisson.f90:129-135).
         """
         o = self.options
         vc_tol = o.vc_tol if vc_tol is None else vc_tol
@@ -350,8 +387,24 @@ class PoissonBVP:
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
-        if zero_rhs:
+        hist = None
+        if history:
+            rhs_arr = (
+                jnp.zeros(self.h.fine_shape, dtype=self.outer_dtype)
+                if zero_rhs
+                else jnp.asarray(rhs, dtype=self.outer_dtype)
+            )
+            if rhs_arr.shape != self.h.fine_shape:
+                raise ValueError(
+                    f"rhs shape {rhs_arr.shape} != fine grid {self.h.fine_shape}"
+                )
+            u, du, it, ierr, hist = self._solve_hist_jit(
+                u0, rhs_arr, *scalars, int(nmax)
+            )
+            du, it, ierr, hist = jax.device_get((du, it, ierr, hist))
+        elif zero_rhs:
             u, du, it, ierr = self._solve_zero_rhs_jit(u0, *scalars)
+            du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
         else:
             rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
             if self.shard_spec is not None:
@@ -362,13 +415,16 @@ class PoissonBVP:
                 )
             fn = self._solve_jit_donate if donate else self._solve_jit
             u, du, it, ierr = fn(u0, rhs, *scalars)
-        du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
+            du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
         info = SolveInfo(
             ierr=int(ierr),
             du_last=float(du),
             cycles=int(it),
             name=name,
             wall_time=_time.perf_counter() - t0,
+            du_history=(
+                None if hist is None else tuple(float(v) for v in hist[: int(it)])
+            ),
         )
         return u, info
 

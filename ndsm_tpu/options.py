@@ -117,6 +117,10 @@ class SolveInfo:
     cycles: int = 0
     name: str = ""
     wall_time: float = 0.0
+    #: Per-cycle inter-iterate metric trace (the reference's debug-mode
+    #: "Solution delta" lines, ndsm_poisson.f90:129-135), populated only
+    #: by ``PoissonBVP.solve(..., history=True)``; length == cycles.
+    du_history: Optional[Tuple[float, ...]] = None
 
 
 @dataclasses.dataclass

@@ -121,6 +121,31 @@ def test_covfail_flag():
     assert info.du_last > 1e-14
 
 
+def test_du_history():
+    """solve(history=True) records the per-cycle du trace (the reference's
+    debug-mode "Solution delta" lines, ndsm_poisson.f90:129-135) without
+    changing the iterate sequence."""
+    from ndsm_tpu.grids import GridHierarchy
+    from ndsm_tpu.mg.poisson import PoissonBVP
+
+    meshes, rhs, _ = _poly_neumann_2d(27, 36, 1.0, 1.3)
+    bvp = PoissonBVP(
+        GridHierarchy.from_mesh(meshes),
+        (("N", "N"), ("N", "N")),
+        Options(precision="fp64"),
+    )
+    u_h, info_h = bvp.solve(np.zeros_like(rhs), rhs, history=True)
+    u_p, info_p = bvp.solve(np.zeros_like(rhs), rhs)
+    assert info_h.ierr == 0
+    assert info_h.du_history is not None
+    assert len(info_h.du_history) == info_h.cycles == info_p.cycles
+    # identical iterates; last history entry == du_last; trace decreases
+    np.testing.assert_array_equal(np.asarray(u_h), np.asarray(u_p))
+    assert info_h.du_history[-1] == info_h.du_last == info_p.du_last
+    assert info_h.du_history[0] > info_h.du_history[-1]
+    assert info_p.du_history is None
+
+
 def test_one_grid_two_grid():
     """Reduced-cycle drivers (reference one_grid/two_grid,
     ndsm_multigrid_core.f90:385-441) solve a small problem directly."""
