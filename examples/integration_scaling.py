@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--mean", action="store_true", help="mean-difference metric")
     ap.add_argument("--scales", type=float, nargs="*", default=SCALE_FACTORS)
     ap.add_argument("--precision", default="auto")
+    ap.add_argument(
+        "--warm",
+        action="store_true",
+        help="run one untimed call per size first so the timed call measures "
+        "steady-state (compile + backend init excluded, as in bench.py)",
+    )
     args = ap.parse_args()
 
     base = np.array([22, 22, 22])
@@ -47,6 +53,10 @@ def main():
         Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
         A1, b1 = potential_field_case(X, Y, Z)
 
+        if args.warm:
+            vector_potential(
+                x, y, z, b1.copy(), mean=args.mean, precision=args.precision
+            )
         t1 = time.time()
         ierr, A2, b2 = vector_potential(
             x, y, z, b1.copy(), mean=args.mean, precision=args.precision
