@@ -36,6 +36,12 @@ def main():
         help="run one untimed call per size first so the timed call measures "
         "steady-state (compile + backend init excluded, as in bench.py)",
     )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="also write the table to FILE in the reference's results_test "
+        "format (tests/integration_test/results_test1.txt)",
+    )
     args = ap.parse_args()
 
     base = np.array([22, 22, 22])
@@ -73,6 +79,19 @@ def main():
         )
         if ierr != 0:
             print(f"  WARNING: ierr={ierr}", file=sys.stderr)
+
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write("#\n# Results: integration_scaling.py{}\n#\n".format(
+                " (mean metric)" if args.mean else ""
+            ))
+            fh.write('# ["Ea_max","Ea_avg","Eb_max","Eb_avg","Time"]\n#\n')
+            for i in range(len(args.scales)):
+                fh.write(
+                    "{:.5e}\t{:.5e}\t{:.5e}\t{:.5e}\t{:.5e}\t{:.5e}\n".format(
+                        dx[i], *errors[:, i]
+                    )
+                )
 
     if len(args.scales) >= 2:
         for i, name in enumerate(names):
