@@ -184,10 +184,15 @@ class MGEngine:
     # Coarse "exact" solve
     # ------------------------------------------------------------------
 
-    def t_solve_exact(self, u, rhs, level: int, ex_tol, nmax_exact, warn: bool = True):
+    def t_solve_exact(self, u, rhs, level: int, ex_tol, nmax_exact):
         """Relax until the inter-iterate change is <= ex_tol or nmax_exact
         sweeps (reference: solve_exact, ndsm_multigrid_core.f90:728-800).
-        The saved state starts zeroed exactly as in the reference (:757)."""
+        The saved state starts zeroed exactly as in the reference (:757).
+
+        Returns ``(u, noconv)``; ``noconv`` is True when nmax_exact was
+        exhausted with du still above ex_tol — the condition the reference
+        only PRINTs about (:796-798).  The flag is threaded up to
+        ``SolveInfo.coarse_noconv`` and the warning printed host-side."""
         ex_tol = jnp.asarray(ex_tol).astype(self.dtype)
         big = jnp.asarray(jnp.finfo(self.dtype).max, dtype=self.dtype)
 
@@ -203,13 +208,7 @@ class MGEngine:
 
         init = (u, jnp.zeros_like(u), big, jnp.asarray(0, dtype=jnp.int32))
         u, _, du, _ = lax.while_loop(cond, body, init)
-        if warn:
-            _warn_if(
-                du > ex_tol,
-                "Warning: IOPT_NMAXEX exceeded. "
-                "Coarse-mesh solution may not have converged",
-            )
-        return u
+        return u, du > ex_tol
 
     # ------------------------------------------------------------------
     # Cycles
@@ -228,7 +227,7 @@ class MGEngine:
 
     def t_vcycle(self, u, rhs, ex_tol, nmax_exact):
         """One V-cycle on the finest level (reference: v_cycle,
-        ndsm_multigrid_core.f90:341-377)."""
+        ndsm_multigrid_core.f90:341-377).  Returns ``(u, coarse_noconv)``."""
         L = self.h.ngrids
         us = [None] * L
         rhss = [None] * L
@@ -245,8 +244,11 @@ class MGEngine:
         # Coarsest-grid solve (:370)
         if self.coarse_direct and L > 1:
             us[L - 1] = self.t_coarse_solve_direct(rhss[L - 1])
+            noconv = jnp.asarray(False)
         else:
-            us[L - 1] = self.t_solve_exact(us[L - 1], rhss[L - 1], L - 1, ex_tol, nmax_exact)
+            us[L - 1], noconv = self.t_solve_exact(
+                us[L - 1], rhss[L - 1], L - 1, ex_tol, nmax_exact
+            )
 
         # Ascend (coarse_to_fine, :593-684)
         for l in range(L - 2, -1, -1):
@@ -254,38 +256,21 @@ class MGEngine:
             cor = self.t_prolong(uc, l)
             us[l] = self.t_smooth(us[l] + cor, rhss[l], l)
 
-        return us[0]
+        return us[0], noconv
 
     def t_two_grid(self, u, rhs, ex_tol, nmax_exact):
         """Two-grid correction scheme for testing (reference: two_grid,
-        ndsm_multigrid_core.f90:385-410)."""
+        ndsm_multigrid_core.f90:385-410).  Returns ``(u, coarse_noconv)``."""
         ul = self.t_smooth(u, rhs, 0)
         r = self.t_residual(ul, rhs, 0)
         rhs_c = self.t_restrict(r, 0)
         u_c = jnp.zeros(self.h.shapes[1], dtype=self.dtype)
-        u_c = self.t_solve_exact(u_c, rhs_c, 1, ex_tol, nmax_exact)
+        u_c, noconv = self.t_solve_exact(u_c, rhs_c, 1, ex_tol, nmax_exact)
         u_c = self.t_smooth(u_c, rhs_c, 1)
         cor = self.t_prolong(u_c, 0)
-        return self.t_smooth(ul + cor, rhs, 0)
+        return self.t_smooth(ul + cor, rhs, 0), noconv
 
     def t_one_grid(self, u, rhs, ex_tol, nmax_exact):
         """Single-grid relax-to-convergence (reference: one_grid,
-        ndsm_multigrid_core.f90:424-441)."""
+        ndsm_multigrid_core.f90:424-441).  Returns ``(u, noconv)``."""
         return self.t_solve_exact(u, rhs, 0, ex_tol, nmax_exact)
-
-
-def _warn_if(pred, msg: str) -> None:
-    """Host-side warning print gated on a traced predicate (the reference
-    prints these warnings unconditionally via PRINT *,
-    ndsm_multigrid_core.f90:796-798; ndsm_poisson.f90:147-150).  On
-    platforms without host-callback support the warning is skipped — the
-    condition still reaches the caller through ierr/SolveInfo."""
-    from ..utils.compat import callbacks_supported
-
-    if not callbacks_supported():
-        return
-
-    def _true():
-        jax.debug.print(msg)
-
-    lax.cond(pred, _true, lambda: None)

@@ -25,7 +25,7 @@ Precision modes
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -35,11 +35,26 @@ from jax import lax
 from ..grids import GridHierarchy
 from ..options import IERR_COVFAIL, IERR_SUCCESS, Options, SolveInfo
 from ..ops import stencils
-from .engine import MGEngine, _warn_if
+from ..utils.caching import BoundedCache
+from ..utils.msgs import warn
+from .engine import MGEngine
 
 __all__ = ["PoissonBVP", "solve_poisson_bvp"]
 
-_ENGINE_CACHE: Dict = {}
+# Engines hold transfer matrices and (for direct coarse solves) a dense
+# pseudo-inverse; BVPs additionally pin compiled executables.  Bounded
+# LRU caches keep a many-shape long-lived process from accumulating them
+# without limit while still giving the common reuse patterns (repeated
+# solves at one size; the nine sub-solves of a vector-potential call)
+# full hit rates.
+_ENGINE_CACHE: BoundedCache = BoundedCache(maxsize=64)
+
+_COARSE_NOCONV_WARNING = (
+    "Warning: IOPT_NMAXEX exceeded. Coarse-mesh solution may not have converged"
+)
+_COVFAIL_WARNING = (
+    "Warning: IOPT_NCYCLES exceeded. V-cycle iteration may not have converged"
+)
 
 
 def _cached_engine(
@@ -62,7 +77,7 @@ def _cached_engine(
             coarse_direct=coarse_direct,
             compact_smoother=compact_smoother,
         )
-        _ENGINE_CACHE[key] = eng
+        _ENGINE_CACHE.put(key, eng)
     return eng
 
 
@@ -132,8 +147,7 @@ class PoissonBVP:
     # ------------------------------------------------------------------
 
     def _cycle_body_direct(self, u, rhs, ex_tol, nmax_exact):
-        u_new = self._inner.t_vcycle(u, rhs, ex_tol, nmax_exact)
-        return u_new
+        return self._inner.t_vcycle(u, rhs, ex_tol, nmax_exact)
 
     def _cycle_body_mixed(self, u, rhs, ex_tol, nmax_exact):
         eng64, eng32 = self._outer, self._inner
@@ -144,13 +158,13 @@ class PoissonBVP:
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
         e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
-        e32 = eng32.t_vcycle(e0, r32, ex_tol_eff, nmax_exact)
+        e32, noconv = eng32.t_vcycle(e0, r32, ex_tol_eff, nmax_exact)
         e = e32.astype(self.outer_dtype) * s_safe
         e = jnp.where(s > 0, e, jnp.zeros_like(e))
         u_new = u + e
         if self._all_neumann:
             u_new = u_new - jnp.mean(u_new)
-        return u_new
+        return u_new, noconv
 
     def _solve_impl_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
         rhs = jnp.zeros(self.h.fine_shape, dtype=self.outer_dtype)
@@ -159,7 +173,9 @@ class PoissonBVP:
     def _solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         """Outer V-cycle loop (reference: VCYCLE_LOOP,
         ndsm_poisson.f90:116-141): iterate until the selected inter-cycle
-        metric du is < vc_tol, or nmax cycles have run (-> IERR_COVFAIL)."""
+        metric du is < vc_tol, or nmax cycles have run (-> IERR_COVFAIL).
+        Also accumulates the coarse-solve non-convergence flag across
+        cycles (reference warning: ndsm_multigrid_core.f90:796-798)."""
         cycle = (
             self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
         )
@@ -167,12 +183,12 @@ class PoissonBVP:
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
 
         def cond(c):
-            _, du, it = c
+            _, du, it, _ = c
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def body(c):
-            u, _, it = c
-            u_new = cycle(u, rhs, ex_tol, nmax_exact)
+            u, _, it, flag = c
+            u_new, noconv = cycle(u, rhs, ex_tol, nmax_exact)
             du = self._outer.t_metric(u_new, u)
             if self.options.debug:
                 from ..utils.compat import callbacks_supported
@@ -181,18 +197,12 @@ class PoissonBVP:
                     jax.debug.print(
                         "DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du
                     )
-            return (u_new, du, it + 1)
+            return (u_new, du, it + 1, flag | noconv)
 
-        init = (u0, big, jnp.asarray(0, dtype=jnp.int32))
-        u, du, it = lax.while_loop(cond, body, init)
-        converged = du < vc_tol
-        _warn_if(
-            jnp.logical_not(converged),
-            "Warning: IOPT_NCYCLES exceeded. "
-            "V-cycle iteration may not have converged",
-        )
-        ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
-        return u, du, it, ierr
+        init = (u0, big, jnp.asarray(0, dtype=jnp.int32), jnp.asarray(False))
+        u, du, it, flag = lax.while_loop(cond, body, init)
+        ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
+        return u, du, it, ierr, flag
 
     def _solve_hist_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, hist_len):
         """``_solve_impl`` plus a per-cycle du trace in a fixed-size buffer
@@ -209,22 +219,22 @@ class PoissonBVP:
         nmax = jnp.minimum(nmax, jnp.int32(hist_len))
 
         def cond(c):
-            _, du, it, _ = c
+            _, du, it, _, _ = c
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def body(c):
-            u, _, it, hist = c
-            u_new = cycle(u, rhs, ex_tol, nmax_exact)
+            u, _, it, hist, flag = c
+            u_new, noconv = cycle(u, rhs, ex_tol, nmax_exact)
             du = self._outer.t_metric(u_new, u)
             hist = hist.at[it].set(du)
-            return (u_new, du, it + 1, hist)
+            return (u_new, du, it + 1, hist, flag | noconv)
 
         hist0 = jnp.full((hist_len,), jnp.nan, dtype=self.outer_dtype)
-        init = (u0, big, jnp.asarray(0, dtype=jnp.int32), hist0)
-        u, du, it, hist = lax.while_loop(cond, body, init)
+        init = (u0, big, jnp.asarray(0, dtype=jnp.int32), hist0, jnp.asarray(False))
+        u, du, it, hist, flag = lax.while_loop(cond, body, init)
         converged = du < vc_tol
         ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
-        return u, du, it, ierr, hist
+        return u, du, it, ierr, hist, flag
 
     def _solve_batch_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         """Lane-masked batched variant of ``_solve_impl``: solves B
@@ -247,30 +257,30 @@ class PoissonBVP:
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def cond(c):
-            _, du, it = c
+            _, du, it, _ = c
             return jnp.any(active_of(du, it))
 
         def body(c):
-            u, du, it = c
+            u, du, it, flag = c
             active = active_of(du, it)
-            u_new = cycleB(u, rhs)
+            u_new, noconv = cycleB(u, rhs)
             du_new = metricB(u_new, u)
             sel = active.reshape((B,) + (1,) * (u.ndim - 1))
             u = jnp.where(sel, u_new, u)
             du = jnp.where(active, du_new, du)
             it = it + active.astype(jnp.int32)
-            return (u, du, it)
+            return (u, du, it, flag | (noconv & active))
 
-        init = (u0, jnp.full((B,), big), jnp.zeros((B,), jnp.int32))
-        u, du, it = lax.while_loop(cond, body, init)
-        converged = du < vc_tol
-        _warn_if(
-            jnp.logical_not(jnp.all(converged)),
-            "Warning: IOPT_NCYCLES exceeded. "
-            "V-cycle iteration may not have converged",
+        init = (
+            u0,
+            jnp.full((B,), big),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool),
         )
+        u, du, it, flag = lax.while_loop(cond, body, init)
+        converged = du < vc_tol
         ierr = jnp.where(converged, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
-        return u, du, it, ierr
+        return u, du, it, ierr, flag
 
     def solve_batch(
         self,
@@ -315,7 +325,7 @@ class PoissonBVP:
         if self._solve_batch_jit is None:
             self._solve_batch_jit = jax.jit(self._solve_batch_impl)
         t0 = _time.perf_counter()
-        u, du, it, ierr = self._solve_batch_jit(
+        u, du, it, ierr, flag = self._solve_batch_jit(
             u0,
             rhs,
             jnp.float64(vc_tol),
@@ -323,18 +333,24 @@ class PoissonBVP:
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
-        du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
+        du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         wall = _time.perf_counter() - t0
+        # wall_time is the whole batched program's wall (lanes run
+        # simultaneously — there is no honest per-lane wall); batch_size
+        # flags the sharing for downstream accounting.
         infos = [
             SolveInfo(
                 ierr=int(ierr[k]),
                 du_last=float(du[k]),
                 cycles=int(it[k]),
                 name=names[k],
-                wall_time=wall / len(u0s),
+                wall_time=wall,
+                coarse_noconv=bool(flag[k]),
+                batch_size=len(u0s),
             )
             for k in range(len(u0s))
         ]
+        self._post_warnings(infos)
         return list(u), infos
 
     # ------------------------------------------------------------------
@@ -398,13 +414,13 @@ class PoissonBVP:
                 raise ValueError(
                     f"rhs shape {rhs_arr.shape} != fine grid {self.h.fine_shape}"
                 )
-            u, du, it, ierr, hist = self._solve_hist_jit(
+            u, du, it, ierr, hist, flag = self._solve_hist_jit(
                 u0, rhs_arr, *scalars, int(nmax)
             )
-            du, it, ierr, hist = jax.device_get((du, it, ierr, hist))
+            du, it, ierr, hist, flag = jax.device_get((du, it, ierr, hist, flag))
         elif zero_rhs:
-            u, du, it, ierr = self._solve_zero_rhs_jit(u0, *scalars)
-            du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
+            u, du, it, ierr, flag = self._solve_zero_rhs_jit(u0, *scalars)
+            du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         else:
             rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
             if self.shard_spec is not None:
@@ -414,19 +430,32 @@ class PoissonBVP:
                     f"rhs shape {rhs.shape} != fine grid {self.h.fine_shape}"
                 )
             fn = self._solve_jit_donate if donate else self._solve_jit
-            u, du, it, ierr = fn(u0, rhs, *scalars)
-            du, it, ierr = jax.device_get((du, it, ierr))  # one host sync
+            u, du, it, ierr, flag = fn(u0, rhs, *scalars)
+            du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         info = SolveInfo(
             ierr=int(ierr),
             du_last=float(du),
             cycles=int(it),
             name=name,
             wall_time=_time.perf_counter() - t0,
+            coarse_noconv=bool(flag),
             du_history=(
                 None if hist is None else tuple(float(v) for v in hist[: int(it)])
             ),
         )
+        self._post_warnings([info])
         return u, info
+
+    @staticmethod
+    def _post_warnings(infos) -> None:
+        """Print the reference's convergence warnings from the host once
+        results are fetched — identical behavior on every platform
+        (reference: ndsm_multigrid_core.f90:796-798; ndsm_poisson.f90:
+        147-150, which print per-occurrence; here once per solve)."""
+        if any(i.coarse_noconv for i in infos):
+            warn(_COARSE_NOCONV_WARNING)
+        if any(i.ierr != IERR_SUCCESS for i in infos):
+            warn(_COVFAIL_WARNING)
 
     def solve_checkpointed(
         self,
@@ -467,12 +496,13 @@ class PoissonBVP:
                 du = float(ck["du"])
 
         ierr = IERR_COVFAIL
+        coarse_noconv = False
         while cycles_done < nmax:
             if du < vc_tol:
                 ierr = IERR_SUCCESS
                 break
             chunk = min(checkpoint_every, nmax - cycles_done)
-            u, du_j, it_j, _ = self._solve_jit(
+            u, du_j, it_j, _, flag = self._solve_jit(
                 u,
                 jnp.asarray(rhs, dtype=self.outer_dtype),
                 jnp.float64(vc_tol),
@@ -482,56 +512,65 @@ class PoissonBVP:
             )
             du = float(du_j)
             cycles_done += int(it_j)
-            tmp = checkpoint_path + ".tmp"
+            coarse_noconv = coarse_noconv or bool(flag)
+            # np.savez appends ".npz" when missing — name the temp file
+            # with the suffix up front so the atomic os.replace is exact.
+            tmp = checkpoint_path + ".tmp.npz"
             np.savez(
-                tmp if not tmp.endswith(".npz") else tmp,
+                tmp,
                 u=np.asarray(u),
                 cycles=cycles_done,
                 du=du,
                 shape=np.asarray(self.h.fine_shape),
             )
-            saved = tmp if os.path.exists(tmp) else tmp + ".npz"
-            os.replace(saved, checkpoint_path)
-        else:
-            ierr = IERR_SUCCESS if du < vc_tol else IERR_COVFAIL
+            os.replace(tmp, checkpoint_path)
         if du < vc_tol:
             ierr = IERR_SUCCESS
-        return u, SolveInfo(
-            ierr=ierr, du_last=du, cycles=cycles_done, name=name
+        info = SolveInfo(
+            ierr=ierr,
+            du_last=du,
+            cycles=cycles_done,
+            name=name,
+            coarse_noconv=coarse_noconv,
         )
+        self._post_warnings([info])
+        return u, info
 
     # Reduced-cycle drivers, handy for operator-isolation tests
     # (reference: one_grid/two_grid, ndsm_multigrid_core.f90:385-441).
 
     def vcycle(self, u, rhs, *, ex_tol=None, niterex_max=None):
         o = self.options
-        return self._vcycle_jit(
+        u, _ = self._vcycle_jit(
             jnp.asarray(u, self.inner_dtype),
             jnp.asarray(rhs, self.inner_dtype),
             jnp.float64(o.ex_tol if ex_tol is None else ex_tol),
             jnp.int32(o.niterex_max if niterex_max is None else niterex_max),
         )
+        return u
 
     def two_grid(self, u, rhs, *, ex_tol=None, niterex_max=None):
         o = self.options
-        return self._two_grid_jit(
+        u, _ = self._two_grid_jit(
             jnp.asarray(u, self.inner_dtype),
             jnp.asarray(rhs, self.inner_dtype),
             jnp.float64(o.ex_tol if ex_tol is None else ex_tol),
             jnp.int32(o.niterex_max if niterex_max is None else niterex_max),
         )
+        return u
 
     def one_grid(self, u, rhs, *, ex_tol=None, niterex_max=None):
         o = self.options
-        return self._one_grid_jit(
+        u, _ = self._one_grid_jit(
             jnp.asarray(u, self.inner_dtype),
             jnp.asarray(rhs, self.inner_dtype),
             jnp.float64(o.ex_tol if ex_tol is None else ex_tol),
             jnp.int32(o.niterex_max if niterex_max is None else niterex_max),
         )
+        return u
 
 
-_BVP_CACHE: Dict = {}
+_BVP_CACHE: BoundedCache = BoundedCache(maxsize=32)
 
 
 def get_poisson_bvp(
@@ -550,7 +589,7 @@ def get_poisson_bvp(
     bvp = _BVP_CACHE.get(key)
     if bvp is None:
         bvp = PoissonBVP(hierarchy, bcs_t, options, shard_spec=shard_spec)
-        _BVP_CACHE[key] = bvp
+        _BVP_CACHE.put(key, bvp)
     return bvp
 
 

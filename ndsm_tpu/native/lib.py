@@ -100,6 +100,10 @@ def rb_sweep_3d(u: np.ndarray, rhs: np.ndarray, dq, bcs) -> np.ndarray:
 
 
 def rb_sweep_nd(u: np.ndarray, rhs: np.ndarray, dq, bcs) -> np.ndarray:
+    # The C kernel uses a fixed idx[16] scratch (ndsm_core.cc); reject
+    # higher ranks cleanly instead of corrupting the stack.
+    if u.ndim > 16:
+        raise ValueError(f"rb_sweep_nd supports ndim <= 16, got {u.ndim}")
     lib = get_lib()
     u = np.ascontiguousarray(u, dtype=np.float64).copy()
     rhs = np.ascontiguousarray(rhs, dtype=np.float64)

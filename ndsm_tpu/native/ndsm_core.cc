@@ -129,6 +129,7 @@ void ndsm_residual_3d(const double* u, const double* rhs, double* r,
 // ---------------------------------------------------------------------
 void ndsm_rb_sweep_nd(double* u, const double* rhs, int64_t ndim,
                       const int64_t* shape, const double* dq, const char* bcs) {
+  if (ndim < 1 || ndim > 16) return;  // idx[16] scratch below; see lib.py
   std::vector<int64_t> strides(ndim);
   strides[ndim - 1] = 1;
   for (int64_t ax = ndim - 2; ax >= 0; --ax)

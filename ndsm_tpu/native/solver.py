@@ -110,6 +110,8 @@ def solve_poisson_bvp_native(
         d = np.abs(a - b)
         return d.max() if o.du_max else d.mean()
 
+    noconv = [False]
+
     def solve_exact(u, rhs_l, level):
         u_sav = np.zeros_like(u)
         du = np.inf
@@ -119,6 +121,8 @@ def solve_poisson_bvp_native(
             u = _sweep(u, rhs_l, dq[level], bcs)
             du = metric(u, u_sav)
             u_sav = u.copy()
+        if du > o.ex_tol:
+            noconv[0] = True
         return u
 
     def vcycle(u, rhs_f):
@@ -159,4 +163,5 @@ def solve_poisson_bvp_native(
         ierr=IERR_SUCCESS if converged else IERR_COVFAIL,
         du_last=float(du),
         cycles=cycles,
+        coarse_noconv=noconv[0],
     )

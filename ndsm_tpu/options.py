@@ -117,6 +117,16 @@ class SolveInfo:
     cycles: int = 0
     name: str = ""
     wall_time: float = 0.0
+    #: True if ANY coarse-grid "exact" solve during this solve exhausted
+    #: niterex_max without its inter-iterate change reaching ex_tol.  The
+    #: reference only PRINTs a warning in this case and the flag is lost
+    #: (ndsm_multigrid_core.f90:796-798); here it is carried first-class
+    #: (and the warning is also printed, host-side, on every platform).
+    coarse_noconv: bool = False
+    #: Number of problems solved in the same compiled program as this one
+    #: (solve_batch).  ``wall_time`` is the wall of that whole program —
+    #: lanes run simultaneously, so no honest per-lane wall exists.
+    batch_size: int = 1
     #: Per-cycle inter-iterate metric trace (the reference's debug-mode
     #: "Solution delta" lines, ndsm_poisson.f90:129-135), populated only
     #: by ``PoissonBVP.solve(..., history=True)``; length == cycles.

@@ -15,9 +15,11 @@ Two mechanisms are provided:
     stencil's shifted-slice reads become 1-deep halo transfers over ICI,
     reductions become cross-shard collectives, and the sharded<->replicated
     seam at the threshold level becomes a gather/slice pair.
-  * ``ndsm_tpu.parallel.halo``: an explicit shard_map + ppermute
-    formulation of the smoother for cases where manual overlap of halo
-    exchange with interior compute beats the XLA-chosen schedule.
+  * ``ndsm_tpu.parallel.sm_engine``: an explicit shard_map + ppermute
+    formulation of the whole solver (hand-placed halos/collectives) for
+    cases where manual communication placement beats the XLA-chosen
+    schedule; its single-level building blocks are exported as
+    ``make_sharded_sweep`` / ``make_sharded_residual``.
 """
 
 from __future__ import annotations

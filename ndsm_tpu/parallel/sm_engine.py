@@ -57,7 +57,7 @@ from ..ops.transfer import (
 )
 from ..mg.coarse import build_coarse_solver_matrix
 
-__all__ = ["ShardedPoissonBVP"]
+__all__ = ["ShardedPoissonBVP", "make_sharded_sweep", "make_sharded_residual"]
 
 
 def _axis_blocks(M: np.ndarray, ndev: int) -> Tuple[np.ndarray, int]:
@@ -94,7 +94,261 @@ def _plane(v: jax.Array, ax: int, lo: int, hi: int) -> jax.Array:
     return lax.slice_in_dim(v, lo, hi, axis=ax)
 
 
-class ShardedPoissonBVP:
+class ShardStencilKernels:
+    """Per-shard stencil + halo-exchange primitives, shared by the full
+    multigrid engine (ShardedPoissonBVP) and the standalone single-level
+    builders (make_sharded_sweep / make_sharded_residual) so there is
+    exactly ONE halo implementation in the tree.
+
+    Subclasses provide the geometry: attributes ``names`` (mesh axis name
+    per partitioned array axis), ``ndev`` (devices per mesh axis),
+    ``parts`` ([(array_axis, mesh_name)]), ``bcs``; and methods
+    ``_gshape(level)`` (global shape) and ``_dq_of(level)`` (spacings).
+    Arrays passed in are local shard blocks; all boundary logic runs in
+    GLOBAL index coordinates.
+    """
+
+    names: Tuple[str, ...]
+    ndev: Dict[str, int]
+    parts: List[Tuple[int, str]]
+    bcs: stencils.BCS
+
+    def _gshape(self, level: int) -> Tuple[int, ...]:
+        raise NotImplementedError
+
+    def _dq_of(self, level: int):
+        raise NotImplementedError
+
+    # -- type-system helpers -------------------------------------------
+
+    def _vary(self, x):
+        """Mark a locally-created array as varying over the mesh axes
+        (shard_map's varying-manual-axes type system)."""
+        try:
+            return lax.pcast(x, self.names, to="varying")
+        except (AttributeError, TypeError):
+            return x
+
+    def _pall_any(self, b):
+        """Cross-shard OR of a bool scalar, yielding a mesh-invariant value
+        suitable for a replicated (P()) shard_map output."""
+        try:
+            return lax.pmax(b.astype(jnp.int32), self.names) > 0
+        except Exception:  # already invariant (or no vma typing): keep as-is
+            return b
+
+    # -- geometry helpers ----------------------------------------------
+
+    def _is_part(self, ax: int) -> bool:
+        return ax < len(self.names)
+
+    def _g(self, shape, level, ax):
+        """Global index array along partitioned axis ``ax`` for a local
+        block at a sharded level."""
+        nm = self.names[ax]
+        blk = self._gshape(level)[ax] // self.ndev[nm]
+        i = lax.axis_index(nm)
+        return (i * blk + lax.broadcasted_iota(jnp.int32, shape, ax)).astype(
+            jnp.int32
+        )
+
+    def _exchange_planes(self, v, ax: int, depth: int = 1):
+        """(from_prev, from_next) neighbor planes of depth ``depth`` along
+        partitioned axis ``ax`` (zeros beyond the chain ends)."""
+        nm = self.names[ax]
+        nd = self.ndev[nm]
+        from_prev = lax.ppermute(
+            _plane(v, ax, -depth, v.shape[ax]),
+            nm,
+            [(j, j + 1) for j in range(nd - 1)],
+        )
+        from_next = lax.ppermute(
+            _plane(v, ax, 0, depth), nm, [(j + 1, j) for j in range(nd - 1)]
+        )
+        return from_prev, from_next
+
+    def _lead_pair(self, v, ax: int, level: int):
+        """(lower, upper) neighbor arrays along leading axis ``ax`` with
+        Neumann index reflection at the GLOBAL ends; partitioned axes pull
+        the boundary planes from neighbor shards."""
+        if not self._is_part(ax):
+            return stencils._neighbors(v, ax)
+        n_glob = self._gshape(level)[ax]
+        from_prev, from_next = self._exchange_planes(v, ax)
+        g_first = self._g(_plane(v, ax, 0, 1).shape, level, ax)
+        g_last = self._g(v.shape, level, ax)
+        g_last = _plane(g_last, ax, -1, g_last.shape[ax])
+        first = jnp.where(g_first == 0, _plane(v, ax, 1, 2), from_prev)
+        last = jnp.where(g_last == n_glob - 1, _plane(v, ax, -2, -1), from_next)
+        lo = jnp.concatenate([first, _plane(v, ax, 0, -1)], axis=ax)
+        hi = jnp.concatenate([_plane(v, ax, 1, v.shape[ax]), last], axis=ax)
+        return lo, hi
+
+    def _sharded_masks(self, shape, level):
+        """Non-Dirichlet mask with global index tests on partitioned axes."""
+        mask = None
+
+        def add(m):
+            nonlocal mask
+            mask = m if mask is None else mask & m
+
+        for ax in range(len(shape)):
+            n_glob = self._gshape(level)[ax]
+            if self._is_part(ax):
+                g = self._g(shape, level, ax)
+                if self.bcs[ax][0] == "D":
+                    add(g > 0)
+                if self.bcs[ax][1] == "D":
+                    add(g < n_glob - 1)
+            else:
+                idx = lax.broadcasted_iota(jnp.int32, shape, ax)
+                if self.bcs[ax][0] == "D":
+                    add(idx > 0)
+                if self.bcs[ax][1] == "D":
+                    add(idx < shape[ax] - 1)
+        return mask
+
+    def _global_parity_sum(self, shape, level, upto_axis: int):
+        """Sum of global indices over leading axes [0, upto_axis)."""
+        s = None
+        for ax in range(upto_axis):
+            it = (
+                self._g(shape, level, ax)
+                if self._is_part(ax)
+                else lax.broadcasted_iota(jnp.int32, shape, ax)
+            )
+            s = it if s is None else s + it
+        return s
+
+    # -- masked sweep / residual ---------------------------------------
+
+    def _sharded_half(self, u, rhs, level, parity, w, w0, interior):
+        total = None
+        for ax in range(u.ndim):
+            lo, hi = self._lead_pair(u, ax, level)
+            term = (lo + hi) * w[ax]
+            total = term if total is None else total + term
+        unew = (total - rhs) * w0
+        psum_axes = self._global_parity_sum(u.shape, level, u.ndim)
+        mask = lax.rem(psum_axes, jnp.int32(2)) == parity
+        if interior is not None:
+            mask = mask & interior
+        return jnp.where(mask, unew, u)
+
+    def _sharded_sweep(self, u, rhs, level):
+        w, w0 = stencils.stencil_weights(self._dq_of(level), u.dtype)
+        interior = self._sharded_masks(u.shape, level)
+        red = stencils.first_color_parity(self.bcs)
+        u = self._sharded_half(u, rhs, level, red, w, w0, interior)
+        u = self._sharded_half(u, rhs, level, 1 - red, w, w0, interior)
+        if stencils.is_all_neumann(self.bcs):
+            total = float(np.prod(self._gshape(level)))
+            mean = lax.psum(jnp.sum(u), self.names) / jnp.asarray(
+                total, u.dtype
+            )
+            u = u - mean
+        return u
+
+    def _sharded_residual(self, u, rhs, level):
+        w, _ = stencils.stencil_weights(self._dq_of(level), u.dtype)
+        interior = self._sharded_masks(u.shape, level)
+        lap = None
+        for ax in range(u.ndim):
+            lo, hi = self._lead_pair(u, ax, level)
+            term = (lo - 2.0 * u + hi) * w[ax]
+            lap = term if lap is None else lap + term
+        r = rhs - lap
+        if interior is not None:
+            r = jnp.where(interior, r, jnp.zeros((), u.dtype))
+        return r
+
+    # -- color-compact sharded smoothing -------------------------------
+
+    def _rowpar(self, shape_half_lead, level):
+        """Global row parity (sum of GLOBAL leading indices) shaped
+        (…lead, 1)."""
+        full = tuple(shape_half_lead) + (1,)
+        s = self._global_parity_sum(full, level, len(shape_half_lead))
+        return lax.rem(s, jnp.int32(2))
+
+    def _compact_half_sharded(self, own, opp, rhs_own, own_par, level, w, w0):
+        """One color's update on sharded compact state: leading-axis
+        neighbors (same half-index k, opposite color) come from neighbor
+        shards; the split axis uses clamp-shifts with row-parity select."""
+        nx = self._gshape(level)[-1]
+        total = None
+        for ax in range(own.ndim - 1):
+            lo, hi = self._lead_pair(opp, ax, level)
+            term = (lo + hi) * w[ax]
+            total = term if total is None else total + term
+        km1 = sc._shift_clamp(opp, own.ndim - 1, -1)
+        kp1 = sc._shift_clamp(opp, own.ndim - 1, +1)
+        nbx = jnp.where(own_par == 0, km1 + opp, opp + kp1)
+        total = total + nbx * w[own.ndim - 1]
+        unew = (total - rhs_own) * w0
+        # update mask: ghost + Dirichlet faces
+        kk = lax.broadcasted_iota(jnp.int32, own.shape, own.ndim - 1)
+        gx = 2 * kk + own_par
+        mask = gx < nx
+        for ax in range(own.ndim - 1):
+            n_glob = self._gshape(level)[ax]
+            if self._is_part(ax):
+                g = self._g(own.shape, level, ax)
+                if self.bcs[ax][0] == "D":
+                    mask = mask & (g > 0)
+                if self.bcs[ax][1] == "D":
+                    mask = mask & (g < n_glob - 1)
+            else:
+                idx = lax.broadcasted_iota(jnp.int32, own.shape, ax)
+                if self.bcs[ax][0] == "D":
+                    mask = mask & (idx > 0)
+                if self.bcs[ax][1] == "D":
+                    mask = mask & (idx < own.shape[ax] - 1)
+        if self.bcs[-1][0] == "D":
+            mask = mask & (gx > 0)
+        if self.bcs[-1][1] == "D":
+            mask = mask & (gx < nx - 1)
+        own = jnp.where(mask, unew, own)
+        return sc._ghost_fix(own, own_par, nx)
+
+    def _sharded_smooth_compact(self, u, rhs, level, n):
+        nx = self._gshape(level)[-1]
+        w, w0 = stencils.stencil_weights(self._dq_of(level), u.dtype)
+        rowpar = self._rowpar(u.shape[:-1], level)
+        R, B = sc.split_colors_p(u, rowpar)
+        rhs_R, rhs_B = sc.split_colors_p(rhs, rowpar)
+        par_R, par_B = rowpar, 1 - rowpar
+        red = stencils.first_color_parity(self.bcs)
+        all_n = stencils.is_all_neumann(self.bcs)
+        total_pts = float(np.prod(self._gshape(level)))
+
+        def body(_, carry):
+            R, B = carry
+            if red == 0:
+                R = self._compact_half_sharded(R, B, rhs_R, par_R, level, w, w0)
+                B = self._compact_half_sharded(B, R, rhs_B, par_B, level, w, w0)
+            else:
+                B = self._compact_half_sharded(B, R, rhs_B, par_B, level, w, w0)
+                R = self._compact_half_sharded(R, B, rhs_R, par_R, level, w, w0)
+            if all_n:
+                if nx % 2 == 0:
+                    s = jnp.sum(R) + jnp.sum(B)
+                else:
+                    kk = lax.broadcasted_iota(jnp.int32, R.shape, R.ndim - 1)
+                    s = jnp.sum(jnp.where(2 * kk + par_R < nx, R, 0)) + jnp.sum(
+                        jnp.where(2 * kk + par_B < nx, B, 0)
+                    )
+                mean = lax.psum(s, self.names) / jnp.asarray(
+                    total_pts, R.dtype
+                )
+                R, B = R - mean, B - mean
+            return (R, B)
+
+        R, B = lax.fori_loop(0, n, body, (R, B))
+        return sc.merge_colors_p(R, B, nx, rowpar)
+
+
+class ShardedPoissonBVP(ShardStencilKernels):
     """Poisson solve with the whole multigrid algorithm inside one
     ``shard_map`` (see module docstring).
 
@@ -210,230 +464,20 @@ class ShardedPoissonBVP:
                 self._local_solve,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P()),
-                out_specs=(spec, P(), P(), P()),
+                out_specs=(spec, P(), P(), P(), P()),
             )
         )
 
     # ------------------------------------------------------------------
-    # Per-shard helpers.  Arrays are local blocks on sharded levels and
-    # full arrays on replicated ones.
+    # Geometry hooks for the shared ShardStencilKernels primitives.
+    # Arrays are local blocks on sharded levels, full on replicated ones.
     # ------------------------------------------------------------------
 
-    def _vary(self, x):
-        """Mark a locally-created array as varying over the mesh axes
-        (shard_map's varying-manual-axes type system)."""
-        try:
-            return lax.pcast(x, self.names, to="varying")
-        except (AttributeError, TypeError):
-            return x
+    def _gshape(self, level: int) -> Tuple[int, ...]:
+        return self.h.shapes[level]
 
-    def _is_part(self, ax: int) -> bool:
-        return ax < len(self.names)
-
-    def _g(self, shape, level, ax):
-        """Global index array along partitioned axis ``ax`` for a local
-        block at a sharded level."""
-        nm = self.names[ax]
-        blk = self.h.shapes[level][ax] // self.ndev[nm]
-        i = lax.axis_index(nm)
-        return (i * blk + lax.broadcasted_iota(jnp.int32, shape, ax)).astype(
-            jnp.int32
-        )
-
-    def _exchange_planes(self, v, ax: int, depth: int = 1):
-        """(from_prev, from_next) neighbor planes of depth ``depth`` along
-        partitioned axis ``ax`` (zeros beyond the chain ends)."""
-        nm = self.names[ax]
-        nd = self.ndev[nm]
-        from_prev = lax.ppermute(
-            _plane(v, ax, -depth, v.shape[ax]),
-            nm,
-            [(j, j + 1) for j in range(nd - 1)],
-        )
-        from_next = lax.ppermute(
-            _plane(v, ax, 0, depth), nm, [(j + 1, j) for j in range(nd - 1)]
-        )
-        return from_prev, from_next
-
-    def _lead_pair(self, v, ax: int, level: int):
-        """(lower, upper) neighbor arrays along leading axis ``ax`` with
-        Neumann index reflection at the GLOBAL ends; partitioned axes pull
-        the boundary planes from neighbor shards."""
-        if not self._is_part(ax):
-            return stencils._neighbors(v, ax)
-        n_glob = self.h.shapes[level][ax]
-        from_prev, from_next = self._exchange_planes(v, ax)
-        g_first = self._g(_plane(v, ax, 0, 1).shape, level, ax)
-        g_last = self._g(v.shape, level, ax)
-        g_last = _plane(g_last, ax, -1, g_last.shape[ax])
-        first = jnp.where(g_first == 0, _plane(v, ax, 1, 2), from_prev)
-        last = jnp.where(g_last == n_glob - 1, _plane(v, ax, -2, -1), from_next)
-        lo = jnp.concatenate([first, _plane(v, ax, 0, -1)], axis=ax)
-        hi = jnp.concatenate([_plane(v, ax, 1, v.shape[ax]), last], axis=ax)
-        return lo, hi
-
-    def _sharded_masks(self, shape, level):
-        """Non-Dirichlet mask with global index tests on partitioned axes."""
-        mask = None
-
-        def add(m):
-            nonlocal mask
-            mask = m if mask is None else mask & m
-
-        for ax in range(len(shape)):
-            n_glob = self.h.shapes[level][ax]
-            if self._is_part(ax):
-                g = self._g(shape, level, ax)
-                if self.bcs[ax][0] == "D":
-                    add(g > 0)
-                if self.bcs[ax][1] == "D":
-                    add(g < n_glob - 1)
-            else:
-                idx = lax.broadcasted_iota(jnp.int32, shape, ax)
-                if self.bcs[ax][0] == "D":
-                    add(idx > 0)
-                if self.bcs[ax][1] == "D":
-                    add(idx < shape[ax] - 1)
-        return mask
-
-    def _global_parity_sum(self, shape, level, upto_axis: int):
-        """Sum of global indices over leading axes [0, upto_axis)."""
-        s = None
-        for ax in range(upto_axis):
-            it = (
-                self._g(shape, level, ax)
-                if self._is_part(ax)
-                else lax.broadcasted_iota(jnp.int32, shape, ax)
-            )
-            s = it if s is None else s + it
-        return s
-
-    # -- masked sweep / residual ---------------------------------------
-
-    def _sharded_half(self, u, rhs, level, parity, w, w0, interior):
-        total = None
-        for ax in range(u.ndim):
-            lo, hi = self._lead_pair(u, ax, level)
-            term = (lo + hi) * w[ax]
-            total = term if total is None else total + term
-        unew = (total - rhs) * w0
-        psum_axes = self._global_parity_sum(u.shape, level, u.ndim)
-        mask = lax.rem(psum_axes, jnp.int32(2)) == parity
-        if interior is not None:
-            mask = mask & interior
-        return jnp.where(mask, unew, u)
-
-    def _sharded_sweep(self, u, rhs, level):
-        w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
-        interior = self._sharded_masks(u.shape, level)
-        red = stencils.first_color_parity(self.bcs)
-        u = self._sharded_half(u, rhs, level, red, w, w0, interior)
-        u = self._sharded_half(u, rhs, level, 1 - red, w, w0, interior)
-        if stencils.is_all_neumann(self.bcs):
-            total = float(np.prod(self.h.shapes[level]))
-            mean = lax.psum(jnp.sum(u), self.names) / jnp.asarray(
-                total, u.dtype
-            )
-            u = u - mean
-        return u
-
-    def _sharded_residual(self, u, rhs, level):
-        w, _ = stencils.stencil_weights(self._dq[level], u.dtype)
-        interior = self._sharded_masks(u.shape, level)
-        lap = None
-        for ax in range(u.ndim):
-            lo, hi = self._lead_pair(u, ax, level)
-            term = (lo - 2.0 * u + hi) * w[ax]
-            lap = term if lap is None else lap + term
-        r = rhs - lap
-        if interior is not None:
-            r = jnp.where(interior, r, jnp.zeros((), u.dtype))
-        return r
-
-    # -- color-compact sharded smoothing -------------------------------
-
-    def _rowpar(self, shape_half_lead, level):
-        """Global row parity (sum of GLOBAL leading indices) shaped
-        (…lead, 1)."""
-        full = tuple(shape_half_lead) + (1,)
-        s = self._global_parity_sum(full, level, len(shape_half_lead))
-        return lax.rem(s, jnp.int32(2))
-
-    def _compact_half_sharded(self, own, opp, rhs_own, own_par, level, w, w0):
-        """One color's update on sharded compact state: leading-axis
-        neighbors (same half-index k, opposite color) come from neighbor
-        shards; the split axis uses clamp-shifts with row-parity select."""
-        nx = self.h.shapes[level][-1]
-        total = None
-        for ax in range(own.ndim - 1):
-            lo, hi = self._lead_pair(opp, ax, level)
-            term = (lo + hi) * w[ax]
-            total = term if total is None else total + term
-        km1 = sc._shift_clamp(opp, own.ndim - 1, -1)
-        kp1 = sc._shift_clamp(opp, own.ndim - 1, +1)
-        nbx = jnp.where(own_par == 0, km1 + opp, opp + kp1)
-        total = total + nbx * w[own.ndim - 1]
-        unew = (total - rhs_own) * w0
-        # update mask: ghost + Dirichlet faces
-        kk = lax.broadcasted_iota(jnp.int32, own.shape, own.ndim - 1)
-        gx = 2 * kk + own_par
-        mask = gx < nx
-        for ax in range(own.ndim - 1):
-            n_glob = self.h.shapes[level][ax]
-            if self._is_part(ax):
-                g = self._g(own.shape, level, ax)
-                if self.bcs[ax][0] == "D":
-                    mask = mask & (g > 0)
-                if self.bcs[ax][1] == "D":
-                    mask = mask & (g < n_glob - 1)
-            else:
-                idx = lax.broadcasted_iota(jnp.int32, own.shape, ax)
-                if self.bcs[ax][0] == "D":
-                    mask = mask & (idx > 0)
-                if self.bcs[ax][1] == "D":
-                    mask = mask & (idx < own.shape[ax] - 1)
-        if self.bcs[-1][0] == "D":
-            mask = mask & (gx > 0)
-        if self.bcs[-1][1] == "D":
-            mask = mask & (gx < nx - 1)
-        own = jnp.where(mask, unew, own)
-        return sc._ghost_fix(own, own_par, nx)
-
-    def _sharded_smooth_compact(self, u, rhs, level, n):
-        nx = self.h.shapes[level][-1]
-        w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
-        rowpar = self._rowpar(u.shape[:-1], level)
-        R, B = sc.split_colors_p(u, rowpar)
-        rhs_R, rhs_B = sc.split_colors_p(rhs, rowpar)
-        par_R, par_B = rowpar, 1 - rowpar
-        red = stencils.first_color_parity(self.bcs)
-        all_n = stencils.is_all_neumann(self.bcs)
-        total_pts = float(np.prod(self.h.shapes[level]))
-
-        def body(_, carry):
-            R, B = carry
-            if red == 0:
-                R = self._compact_half_sharded(R, B, rhs_R, par_R, level, w, w0)
-                B = self._compact_half_sharded(B, R, rhs_B, par_B, level, w, w0)
-            else:
-                B = self._compact_half_sharded(B, R, rhs_B, par_B, level, w, w0)
-                R = self._compact_half_sharded(R, B, rhs_R, par_R, level, w, w0)
-            if all_n:
-                if nx % 2 == 0:
-                    s = jnp.sum(R) + jnp.sum(B)
-                else:
-                    kk = lax.broadcasted_iota(jnp.int32, R.shape, R.ndim - 1)
-                    s = jnp.sum(jnp.where(2 * kk + par_R < nx, R, 0)) + jnp.sum(
-                        jnp.where(2 * kk + par_B < nx, B, 0)
-                    )
-                mean = lax.psum(s, self.names) / jnp.asarray(
-                    total_pts, R.dtype
-                )
-                R, B = R - mean, B - mean
-            return (R, B)
-
-        R, B = lax.fori_loop(0, n, body, (R, B))
-        return sc.merge_colors_p(R, B, nx, rowpar)
+    def _dq_of(self, level: int):
+        return self._dq[level]
 
     def _smooth(self, u, rhs, level, n):
         if level < self.seam:
@@ -522,6 +566,7 @@ class ShardedPoissonBVP:
         return dmax if self.options.du_max else dsum / jnp.asarray(n, a.dtype)
 
     def _coarse_solve(self, rhs, ex_tol, nmax_exact):
+        """Returns ``(u, noconv)`` — see MGEngine.t_solve_exact."""
         L = self.h.ngrids - 1
         if self.coarse_direct:
             rows = jnp.asarray(self._coarse_rows)
@@ -529,7 +574,7 @@ class ShardedPoissonBVP:
             rhs_int = jnp.take(rhs.ravel(), rows)
             e_int = jnp.matmul(S, rhs_int, precision=lax.Precision.HIGHEST)
             e = jnp.zeros(rhs.size, dtype=rhs.dtype).at[rows].set(e_int)
-            return e.reshape(rhs.shape)
+            return e.reshape(rhs.shape), jnp.asarray(False)
 
         def cond(c):
             _, _, du, it = c
@@ -543,8 +588,8 @@ class ShardedPoissonBVP:
 
         big = jnp.asarray(jnp.finfo(rhs.dtype).max, rhs.dtype)
         u0 = jnp.zeros_like(rhs)
-        u, _, _, _ = lax.while_loop(cond, body, (u0, u0, big, jnp.int32(0)))
-        return u
+        u, _, du, _ = lax.while_loop(cond, body, (u0, u0, big, jnp.int32(0)))
+        return u, du > ex_tol
 
     # ------------------------------------------------------------------
 
@@ -574,12 +619,12 @@ class ShardedPoissonBVP:
             us[l + 1] = self._vary(
                 jnp.zeros(self._local_shape(l + 1), dtype=dtype)
             )
-        us[L - 1] = self._coarse_solve(rhss[L - 1], ex_tol, nmax_exact)
+        us[L - 1], noconv = self._coarse_solve(rhss[L - 1], ex_tol, nmax_exact)
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
             cor = self._prolong(uc, l)
             us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
-        return us[0]
+        return us[0], noconv
 
     def _cycle_mixed(self, u, rhs, ex_tol, nmax_exact):
         """f64 defect correction around an f32 V-cycle (the sharded
@@ -591,7 +636,7 @@ class ShardedPoissonBVP:
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
         e0 = self._vary(jnp.zeros(r32.shape, dtype=jnp.float32))
-        e32 = self._vcycle(e0, r32, ex_tol_eff, nmax_exact)
+        e32, noconv = self._vcycle(e0, r32, ex_tol_eff, nmax_exact)
         e = e32.astype(self.dtype) * s_safe
         e = jnp.where(s > 0, e, jnp.zeros_like(e))
         u_new = u + e
@@ -601,7 +646,7 @@ class ShardedPoissonBVP:
                 total, u_new.dtype
             )
             u_new = u_new - mean
-        return u_new
+        return u_new, noconv
 
     def _local_solve(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         vc_tol = vc_tol.astype(self.dtype)
@@ -609,29 +654,31 @@ class ShardedPoissonBVP:
         mixed = self.mode == "mixed"
 
         def cond(c):
-            _, du, it = c
+            _, du, it, _ = c
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def body(c):
-            u, _, it = c
+            u, _, it, flag = c
             if mixed:
-                u_new = self._cycle_mixed(u, rhs, ex_tol, nmax_exact)
+                u_new, noconv = self._cycle_mixed(u, rhs, ex_tol, nmax_exact)
             else:
-                u_new = self._vcycle(u, rhs, ex_tol, nmax_exact)
+                u_new, noconv = self._vcycle(u, rhs, ex_tol, nmax_exact)
             du = self._metric(u_new, u, 0)
-            return (u_new, du, it + 1)
+            return (u_new, du, it + 1, flag | noconv)
 
-        u, du, it = lax.while_loop(cond, body, (u0, big, jnp.int32(0)))
+        u, du, it, flag = lax.while_loop(
+            cond, body, (u0, big, jnp.int32(0), self._vary(jnp.asarray(False)))
+        )
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(
             jnp.int32
         )
-        return u, du, it, ierr
+        return u, du, it, ierr, self._pall_any(flag)
 
     def solve(self, u0, rhs, *, name: str = "") -> Tuple[jax.Array, SolveInfo]:
         o = self.options
         u0 = jax.device_put(jnp.asarray(u0, self.dtype), self.sharding)
         rhs = jax.device_put(jnp.asarray(rhs, self.dtype), self.sharding)
-        u, du, it, ierr = self._solve_jit(
+        u, du, it, ierr, flag = self._solve_jit(
             u0,
             rhs,
             jnp.asarray(o.vc_tol, jnp.float64),
@@ -639,7 +686,96 @@ class ShardedPoissonBVP:
             jnp.int32(o.ncycles_max),
             jnp.int32(o.niterex_max),
         )
-        du, it, ierr = jax.device_get((du, it, ierr))
-        return u, SolveInfo(
-            ierr=int(ierr), du_last=float(du), cycles=int(it), name=name
+        du, it, ierr, flag = jax.device_get((du, it, ierr, flag))
+        info = SolveInfo(
+            ierr=int(ierr),
+            du_last=float(du),
+            cycles=int(it),
+            name=name,
+            coarse_noconv=bool(flag),
         )
+        from ..mg.poisson import PoissonBVP
+
+        PoissonBVP._post_warnings([info])
+        return u, info
+
+
+# ----------------------------------------------------------------------
+# Standalone single-level builders.
+#
+# The distributed analogue of one reference relax/residual call
+# (ndsm_optimized.f90:40,346) as an isolated building block — used by the
+# halo-exchange unit tests and as a minimal example of the sharded
+# smoother.  They reuse the exact ShardStencilKernels methods that the
+# full engine runs, so there is one halo implementation to maintain.
+# ----------------------------------------------------------------------
+
+
+class _SingleLevelOps(ShardStencilKernels):
+    """Geometry adapter: one level, axis 0 partitioned over one mesh axis."""
+
+    def __init__(self, global_shape, bcs, dq, mesh, axis_names):
+        self.h_shape = tuple(global_shape)
+        self.bcs = stencils.validate_bcs(bcs, len(global_shape))
+        self.names = tuple(axis_names)
+        self.ndev = {nm: mesh.shape[nm] for nm in self.names}
+        self.parts = list(enumerate(self.names))
+        self.dq = np.asarray(dq, dtype=np.float64)
+        for ax, nm in self.parts:
+            if self.h_shape[ax] % self.ndev[nm]:
+                raise ValueError(
+                    f"axis {ax} ({self.h_shape[ax]}) must divide over "
+                    f"{self.ndev[nm]} devices"
+                )
+
+    def _gshape(self, level: int):
+        return self.h_shape
+
+    def _dq_of(self, level: int):
+        return self.dq
+
+
+def _single_level(global_shape, bcs, dq, mesh, axis_name):
+    ops = _SingleLevelOps(global_shape, bcs, dq, mesh, (axis_name,))
+    spec = P(axis_name, *([None] * (len(global_shape) - 1)))
+    return ops, spec
+
+
+def make_sharded_sweep(
+    global_shape,
+    bcs,
+    dq,
+    mesh: Mesh,
+    axis_name: str = "z",
+    dtype=jnp.float32,
+):
+    """Jitted red-black sweep over arrays block-partitioned along axis 0
+    of ``mesh`` — semantics identical to ops.stencils.rb_sweep.  Returns
+    (f, sharding) where f(u, rhs) -> u on globally-shaped arrays."""
+    ops, spec = _single_level(global_shape, bcs, dq, mesh, axis_name)
+    f = shard_map(
+        lambda u, rhs: ops._sharded_sweep(u, rhs, 0),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+    )
+    return jax.jit(f), NamedSharding(mesh, spec)
+
+
+def make_sharded_residual(
+    global_shape,
+    bcs,
+    dq,
+    mesh: Mesh,
+    axis_name: str = "z",
+):
+    """Jitted residual r = rhs - L[u] over axis-0 block-partitioned arrays
+    (one halo exchange per evaluation)."""
+    ops, spec = _single_level(global_shape, bcs, dq, mesh, axis_name)
+    f = shard_map(
+        lambda u, rhs: ops._sharded_residual(u, rhs, 0),
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+    )
+    return jax.jit(f), NamedSharding(mesh, spec)

@@ -43,9 +43,21 @@ from ..options import Options, VectorPotentialInfo
 from ..ops.deriv import curl
 from ..ops.reduce import trapz_2d
 from ..mg.poisson import get_poisson_bvp
+from ..utils.msgs import debug_msg
 from . import faces as F
 
 __all__ = ["compute_vector_potential"]
+
+_SUB = "compute_vector_potential"
+
+
+def _dbg(options: Options, msg: str) -> None:
+    """Host-side per-phase trace, mirroring the reference's debug_msg lines
+    (ndsm_vector_potential.f90:257,337,385,405,451,487).  Pure Python — the
+    pipeline is host-orchestrated, so no device callbacks are needed and
+    the trace works identically on every platform."""
+    if options.debug:
+        debug_msg(_SUB, msg)
 
 
 def _central_diff_zero_edges(c: jax.Array, h: float, axis: int) -> jax.Array:
@@ -66,10 +78,16 @@ def _central_diff_zero_edges(c: jax.Array, h: float, axis: int) -> jax.Array:
 def _dist_bvp(hierarchy, bcs, options, dist):
     """ShardedPoissonBVP for this sub-problem, or None if its shapes
     cannot be partitioned over the requested mesh (caller falls back to
-    the single-device path)."""
+    the single-device path).
+
+    The cache key includes the full options tuple: ShardedPoissonBVP bakes
+    tolerances/metric/precision/smoother into its compiled program, so two
+    calls differing only in Options must not share a handle."""
+    import dataclasses as _dc
+
     from ..parallel.sm_engine import ShardedPoissonBVP
 
-    key = (hierarchy, tuple(tuple(x) for x in bcs), dist)
+    key = (hierarchy, tuple(tuple(x) for x in bcs), _dc.astuple(options), dist)
     cached = _DIST_BVP_CACHE.get(key)
     if cached is not None:
         return cached
@@ -84,11 +102,13 @@ def _dist_bvp(hierarchy, bcs, options, dist):
         )
     except ValueError:
         bvp = None
-    _DIST_BVP_CACHE[key] = bvp
+    _DIST_BVP_CACHE.put(key, bvp)
     return bvp
 
 
-_DIST_BVP_CACHE: dict = {}
+from ..utils.caching import BoundedCache as _BoundedCache
+
+_DIST_BVP_CACHE: _BoundedCache = _BoundedCache(maxsize=32)
 
 
 def compute_vector_potential(
@@ -135,6 +155,7 @@ def compute_vector_potential(
     # ------------------------------------------------------------------
     # Only the six boundary-face normal components of b are read (quirk
     # Q12); extract them host-side so the full volume is never uploaded.
+    _dbg(options, "Extract boundary conditions and face fluxes...")
     bn = []
     for f in range(6):
         comp = F.FACE_COMP[f]
@@ -161,6 +182,7 @@ def compute_vector_potential(
     # all six coincide for a cubic mesh) and solve each group as ONE
     # lane-masked batched program — semantics per face are unchanged, but
     # dispatch/latency cost drops from 6 solves to <= 3 (1 when cubic).
+    _dbg(options, "Solve BVP on each boundary...")
     chi = [None] * 6
     chi_info = [None] * 6
     groups = {}
@@ -204,6 +226,7 @@ def compute_vector_potential(
     # At = -grad(chi) x n, edge derivatives zeroed
     # (reference: ndsm_vector_potential.f90:387-399, 977-1031)
     # ------------------------------------------------------------------
+    _dbg(options, "Compute vector potential boundary conditions...")
     hs = []
     for f in range(6):
         d1, d2 = F.FACE_DIMS[f]
@@ -275,6 +298,7 @@ def compute_vector_potential(
             comps.append(u)
         return jnp.stack(comps)
 
+    _dbg(options, "Solve BVP 3D...")
     if options.per_face:
         A = jnp.zeros((3, nz, ny, nx), dtype=dtype)
         for f in range(6):
@@ -286,6 +310,7 @@ def compute_vector_potential(
     # Flux-balance correction + curl (reference :453-477; default order:
     # analytic A correction first, then B = curl(A) numerically)
     # ------------------------------------------------------------------
+    _dbg(options, "Compute B = curl(A) and flux correction...")
     out_dtype = jnp.dtype(getattr(options, "output_dtype", "float64")).name
     A, B = _phase_post(
         A,

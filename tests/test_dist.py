@@ -11,7 +11,7 @@ import pytest
 from ndsm_tpu import GridHierarchy, Options
 from ndsm_tpu.mg.poisson import PoissonBVP
 from ndsm_tpu.ops import stencils
-from ndsm_tpu.parallel.halo import make_sharded_sweep, make_sharded_residual
+from ndsm_tpu.parallel.sm_engine import make_sharded_sweep, make_sharded_residual
 from ndsm_tpu.parallel.shard import ShardSpec, make_mesh
 
 pytestmark = pytest.mark.skipif(

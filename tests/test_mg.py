@@ -222,3 +222,69 @@ def test_solve_batch_matches_individual():
     np.testing.assert_allclose(np.asarray(us[0]), np.asarray(u1), atol=1e-13)
     np.testing.assert_allclose(np.asarray(us[1]), np.asarray(u2), atol=1e-13)
     assert all(s.ierr == 0 for s in infos)
+
+
+def test_two_grid_sequencing_differential():
+    """Differential test of the reduced-cycle drivers against an
+    independent numpy/native implementation of the REFERENCE sequencing
+    (two_grid: ms pre-smooth, residual, restrict, solve_exact on coarse,
+    ms coarse smooth, interpolate+add, ms post-smooth —
+    ndsm_multigrid_core.f90:385-410).  A reordered driver (e.g. a dropped
+    coarse post-smooth) differs at ~1e-3 and fails the 1e-10 bound."""
+    from ndsm_tpu.native.solver import _apply_axis_mats, _residual, _sweep
+    from ndsm_tpu.ops.transfer import interp_matrix_1d, restrict_matrix_1d
+
+    meshes, rhs, _ = _poly_neumann_2d(27, 36, 1.0, 1.3)
+    bcs = (("N", "N"), ("N", "N"))
+    h = GridHierarchy.from_mesh(meshes, ngrids=2)
+    # niterex_max bounds the coarse solve at 4 sweeps so it stays INEXACT:
+    # with a fully converged coarse solve the coarse post-smooth is a
+    # ~1e-12 no-op and a dropped-smooth mis-sequencing would be invisible.
+    opts = Options(precision="fp64", ms=5, ex_tol=1e-12, niterex_max=4)
+    bvp = PoissonBVP(h, bcs, opts)
+    rng = np.random.default_rng(7)
+    u0 = rng.standard_normal(rhs.shape)
+
+    # Independent reference implementation on the native sweeps
+    dq = [np.asarray(d, dtype=np.float64) for d in h.dq]
+    R = [restrict_matrix_1d(c, f) for f, c in zip(h.meshes[0], h.meshes[1])]
+    P = [interp_matrix_1d(f, c) for f, c in zip(h.meshes[0], h.meshes[1])]
+
+    def solve_exact_np(u, rhs_l, level, nmax=None):
+        u_sav = np.zeros_like(u)
+        du = np.inf
+        it = 0
+        nmax = opts.niterex_max if nmax is None else nmax
+        while du > opts.ex_tol and it < nmax:
+            u = _sweep(u, rhs_l, dq[level], bcs)
+            du = np.abs(u - u_sav).max()
+            u_sav = u.copy()
+            it += 1
+        return u
+
+    def two_grid_np(u, rhs_f, skip_coarse_smooth=False):
+        for _ in range(opts.ms):
+            u = _sweep(u, rhs_f, dq[0], bcs)
+        r = _residual(u, rhs_f, dq[0], bcs)
+        rhs_c = _apply_axis_mats(r, R)
+        u_c = solve_exact_np(np.zeros_like(rhs_c), rhs_c, 1)
+        if not skip_coarse_smooth:
+            for _ in range(opts.ms):
+                u_c = _sweep(u_c, rhs_c, dq[1], bcs)
+        u = u + _apply_axis_mats(u_c, P)
+        for _ in range(opts.ms):
+            u = _sweep(u, rhs_f, dq[0], bcs)
+        return u
+
+    want = two_grid_np(u0.copy(), rhs)
+    got = np.asarray(bvp.two_grid(u0, rhs, ex_tol=opts.ex_tol, niterex_max=opts.niterex_max))
+    assert np.abs(got - want).max() < 1e-10
+
+    # the test has teeth: a mis-sequenced variant is far outside the bound
+    wrong = two_grid_np(u0.copy(), rhs, skip_coarse_smooth=True)
+    assert np.abs(wrong - want).max() > 1e-6
+
+    # one_grid == relax-to-ex_tol from the caller's u0 (zeroed saved state)
+    want1 = solve_exact_np(u0.copy(), rhs, 0, nmax=10000)
+    got1 = np.asarray(bvp.one_grid(u0, rhs, ex_tol=opts.ex_tol, niterex_max=10000))
+    assert np.abs(got1 - want1).max() < 1e-10
