@@ -44,6 +44,26 @@ from .coarse import build_coarse_solver_matrix
 # coarsest-level size for which that is sensible.
 _COARSE_DIRECT_MAX = 4096
 
+
+def _pallas_min_points() -> int:
+    """Smallest level (in points) routed to the fused Pallas smoother;
+    below it the tiled kernel is latency-bound and XLA wins.  Env
+    NDSM_TPU_PALLAS_MIN_POINTS overrides (tests set it to 0)."""
+    import os
+
+    return int(os.environ.get("NDSM_TPU_PALLAS_MIN_POINTS", 128 * 128 * 64))
+
+
+def _pallas_nsweeps() -> int:
+    """Sweeps fused per Pallas HBM pass.  2 measured fastest on v5e
+    (~29% SoL vs 24% for 1; >=4 sweeps exceed VMEM at 256^3 tiles —
+    per-sweep unrolled temporaries grow the Mosaic stack).  n-sweep
+    smoothing runs ceil(n/this) passes.  Env NDSM_TPU_PALLAS_NSWEEPS."""
+    import os
+
+    return max(1, int(os.environ.get("NDSM_TPU_PALLAS_NSWEEPS", 2)))
+
+
 __all__ = ["MGEngine"]
 
 
@@ -66,6 +86,7 @@ class MGEngine:
         shard_spec=None,
         coarse_direct: bool = False,
         compact_smoother: bool = True,
+        use_pallas: str = "off",
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
@@ -73,6 +94,13 @@ class MGEngine:
         self.du_max = bool(du_max)
         self.dtype = jnp.dtype(dtype)
         self.shard_spec = shard_spec
+        # Fused Pallas smoother (ops/pallas_fused.py): "on"/"interpret"
+        # route eligible levels (3D float32, big enough, not all-Neumann,
+        # unsharded) to the multi-sweep fused kernel; anything else falls
+        # back to the XLA formulations below.  Resolution ("auto" + probe)
+        # happens in PoissonBVP via utils.compat.resolve_use_pallas.
+        self.use_pallas = use_pallas if shard_spec is None else "off"
+        self._pallas_fns = {}
         # Color-compact smoothing halves the sweep's HBM traffic; it is
         # bit-equivalent to the masked formulation up to rounding (see
         # ops/stencils_compact.py). Disabled under GSPMD sharding for now
@@ -122,9 +150,63 @@ class MGEngine:
         dq = self._dq[level]
         return self._constrain(stencils.rb_sweep(u, rhs, dq, self.bcs), level)
 
+    def _pallas_smooth_fn(self, level: int, n: int):
+        """Fused Pallas smoother for (level, n sweeps), or None when the
+        configuration is unsupported (lazy-built, memoized)."""
+        key = (level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.dtype == jnp.float32
+            and self.h.ndim == 3
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_fused
+
+            shape = self.h.shapes[level]
+            call = pallas_fused.fused_smooth_3d(
+                self.bcs,
+                self._dq[level],
+                shape,
+                n,
+                interpret=(self.use_pallas == "interpret"),
+                with_mask_arg=True,
+            )
+            if call is not None:
+                bcs = self.bcs
+
+                def fn(u, rhs, _call=call, _shape=shape, _bcs=bcs):
+                    # The mask is a traced XLA value (hoisted out of the
+                    # solve while-loop by LICM), never an inline constant.
+                    return _call(u, rhs, pallas_fused.mask_code_jax(_shape, _bcs))
+
+        self._pallas_fns[key] = fn
+        return fn
+
     def t_smooth(self, u, rhs, level: int, nsweeps: int | None = None):
         n = self.ms if nsweeps is None else nsweeps
         if n == 0:
+            return u
+        # Fused Pallas smoothing: compose n sweeps from passes of the
+        # measured-optimal fused width (plus one remainder pass).
+        ns_star = min(n, _pallas_nsweeps())
+        pf = self._pallas_smooth_fn(level, ns_star)
+        if pf is not None:
+            q, rem = divmod(n, ns_star)
+            if q > 1:
+                u = lax.fori_loop(0, q, lambda _, v: pf(v, rhs), u)
+            elif q == 1:
+                u = pf(u, rhs)
+            if rem:
+                pr = self._pallas_smooth_fn(level, rem)
+                if pr is not None:
+                    u = pr(u, rhs)
+                else:  # tiny remainder falls back to one XLA pass
+                    u = lax.fori_loop(
+                        0, rem, lambda _, v: self.t_sweep(v, rhs, level), u
+                    )
             return u
         if self.compact_smoother and stencils_compact.compact_supported(
             u.shape, self.bcs

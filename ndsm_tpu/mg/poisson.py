@@ -59,11 +59,11 @@ _COVFAIL_WARNING = (
 
 def _cached_engine(
     hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False,
-    compact_smoother=True,
+    compact_smoother=True, use_pallas="off",
 ):
     key = (
         hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec,
-        coarse_direct, compact_smoother,
+        coarse_direct, compact_smoother, use_pallas,
     )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
@@ -76,6 +76,7 @@ def _cached_engine(
             shard_spec=shard_spec,
             coarse_direct=coarse_direct,
             compact_smoother=compact_smoother,
+            use_pallas=use_pallas,
         )
         _ENGINE_CACHE.put(key, eng)
     return eng
@@ -113,6 +114,9 @@ class PoissonBVP:
         cs = getattr(options, "coarse_solver", "auto")
         coarse_direct = cs == "direct" or (cs == "auto" and self.mode != "fp64")
         compact = getattr(options, "smoother", "auto") != "masked"
+        from ..utils.compat import resolve_use_pallas
+
+        use_pallas = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
         self._inner = _cached_engine(
             hierarchy,
             self.bcs,
@@ -122,6 +126,7 @@ class PoissonBVP:
             shard_spec,
             coarse_direct,
             compact,
+            use_pallas,
         )
         self._outer = (
             self._inner
@@ -325,14 +330,30 @@ class PoissonBVP:
         if self._solve_batch_jit is None:
             self._solve_batch_jit = jax.jit(self._solve_batch_impl)
         t0 = _time.perf_counter()
-        u, du, it, ierr, flag = self._solve_batch_jit(
-            u0,
-            rhs,
+        scalars = (
             jnp.float64(vc_tol),
             jnp.float64(ex_tol),
             jnp.int32(nmax),
             jnp.int32(nmax_exact),
         )
+        try:
+            u, du, it, ierr, flag = self._solve_batch_jit(u0, rhs, *scalars)
+        except Exception as e:
+            if not (self._pallas_active() and self._is_kernel_compile_error(e)):
+                raise
+            warn(
+                "ndsm_tpu: fused Pallas smoother failed to compile for "
+                f"{self.h.fine_shape}; falling back to the XLA smoother"
+            )
+            return self._xla_fallback().solve_batch(
+                u0s,
+                rhss,
+                vc_tol=vc_tol,
+                ex_tol=ex_tol,
+                ncycles_max=nmax,
+                niterex_max=nmax_exact,
+                names=names,
+            )
         du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         wall = _time.perf_counter() - t0
         # wall_time is the whole batched program's wall (lanes run
@@ -355,7 +376,48 @@ class PoissonBVP:
 
     # ------------------------------------------------------------------
 
-    def solve(
+    def _pallas_active(self) -> bool:
+        return getattr(self._inner, "use_pallas", "off") != "off"
+
+    @staticmethod
+    def _is_kernel_compile_error(e: Exception) -> bool:
+        s = str(e)
+        return any(
+            k in s
+            for k in ("Mosaic", "remote_compile", "vmem", "RESOURCE_EXHAUSTED")
+        )
+
+    def _xla_fallback(self) -> "PoissonBVP":
+        """Same configuration with the Pallas smoother disabled — used
+        when a production-shape kernel fails to compile at runtime (the
+        small-shape probe cannot rule out e.g. VMEM exhaustion)."""
+        fb = getattr(self, "_fallback_bvp", None)
+        if fb is None:
+            fb = PoissonBVP(
+                self.h,
+                self.bcs,
+                dataclasses.replace(self.options, use_pallas="off"),
+                shard_spec=self.shard_spec,
+            )
+            self._fallback_bvp = fb
+        return fb
+
+    def solve(self, u0, rhs, **kw):
+        """See ``_solve_checked`` for the full signature.  Falls back to
+        the XLA smoother if the fused Pallas kernel fails to compile for
+        this configuration (nothing has executed at that point)."""
+        try:
+            return self._solve_checked(u0, rhs, **kw)
+        except Exception as e:
+            if not (self._pallas_active() and self._is_kernel_compile_error(e)):
+                raise
+            warn(
+                "ndsm_tpu: fused Pallas smoother failed to compile for "
+                f"{self.h.fine_shape}; falling back to the XLA smoother"
+            )
+            return self._xla_fallback()._solve_checked(u0, rhs, **kw)
+
+    def _solve_checked(
         self,
         u0,
         rhs,

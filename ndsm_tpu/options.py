@@ -64,7 +64,11 @@ class Options:
     ms: int = 5
     ncycles_max: int = 1024
     niterex_max: int = 10000
-    use_pallas: str = "auto"  #: "auto" | "on" | "off" — fused TPU smoother
+    #: Fused multi-sweep Pallas TPU smoother (ops/pallas_fused.py) for the
+    #: float32 3D smoothing path: "auto" probes the backend at first use
+    #: and falls back to XLA on failure; "on" forces it; "off" disables.
+    #: Env override NDSM_TPU_PALLAS=0/1/interpret (see utils/compat.py).
+    use_pallas: str = "auto"
     #: Coarsest-grid solver: "relax" iterates to ex_tol exactly like the
     #: reference (ndsm_multigrid_core.f90:728); "direct" applies a
     #: precomputed dense (pseudo)inverse in one matvec (same limit, no

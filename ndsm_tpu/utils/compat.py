@@ -7,7 +7,7 @@ import os
 
 import jax
 
-__all__ = ["callbacks_supported"]
+__all__ = ["callbacks_supported", "pallas_fused_usable", "resolve_use_pallas"]
 
 
 @functools.lru_cache(maxsize=None)
@@ -23,3 +23,60 @@ def callbacks_supported() -> bool:
     except Exception:
         return True
     return "axon" not in version
+
+
+@functools.lru_cache(maxsize=None)
+def pallas_fused_usable() -> bool:
+    """Runtime probe for the fused Pallas smoother (ops/pallas_fused.py):
+    compile + run a tiny configuration on the default backend and check it
+    against the XLA sweep.  Any failure (Mosaic toolchain bugs, unsupported
+    platform) disables the kernel and the engine falls back to XLA.  The
+    probe result is cached per process; the compiled probe program is tiny
+    and hits the persistent compile cache on repeat runs."""
+    import numpy as np
+
+    try:
+        if jax.devices()[0].platform == "cpu":
+            return False
+        import jax.numpy as jnp
+
+        from ..ops import pallas_fused, stencils
+
+        # Lane-aligned last axis; ny admits ty+2*H_y tiles for both fused
+        # widths the engine composes with (1 and 2 sweeps per pass).
+        shape = (16, 32, 128)
+        dq = np.array([0.1, 0.1, 0.1])
+        bcs = (("D", "D"), ("D", "D"), ("N", "N"))
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        for ns in (1, 2):
+            f = pallas_fused.fused_smooth_3d(bcs, dq, shape, ns)
+            if f is None:
+                return False
+            got = np.asarray(jax.block_until_ready(f(u, r)))
+            want = u
+            for _ in range(ns):
+                want = stencils.rb_sweep(want, r, dq, bcs)
+            if np.abs(got - np.asarray(want)).max() >= 1e-4:
+                return False
+        return True
+    except Exception:
+        return False
+
+
+def resolve_use_pallas(mode: str) -> str:
+    """Resolve Options.use_pallas ("auto"/"on"/"off") to the engine's
+    effective mode ("on"/"off"/"interpret").
+
+    NDSM_TPU_PALLAS overrides: "0" -> off, "1" -> on (no probe),
+    "interpret" -> interpreter mode (testing the wiring on CPU).
+    "auto" probes the backend (pallas_fused_usable)."""
+    env = os.environ.get("NDSM_TPU_PALLAS")
+    if env is not None:
+        return {"0": "off", "1": "on", "interpret": "interpret"}.get(env, "off")
+    if mode == "off":
+        return "off"
+    if mode == "on":
+        return "on"
+    return "on" if pallas_fused_usable() else "off"
