@@ -175,13 +175,7 @@ class MGEngine:
                 with_mask_arg=True,
             )
             if call is not None:
-                bcs = self.bcs
-
-                def fn(u, rhs, _call=call, _shape=shape, _bcs=bcs):
-                    # The mask is a traced XLA value (hoisted out of the
-                    # solve while-loop by LICM), never an inline constant.
-                    return _call(u, rhs, pallas_fused.mask_code_jax(_shape, _bcs))
-
+                fn = call
         self._pallas_fns[key] = fn
         return fn
 
@@ -190,19 +184,25 @@ class MGEngine:
         if n == 0:
             return u
         # Fused Pallas smoothing: compose n sweeps from passes of the
-        # measured-optimal fused width (plus one remainder pass).
+        # measured-optimal fused width (plus one remainder pass).  The
+        # mask-code array is built ONCE per smooth call (a traced XLA
+        # value — as a per-pass expression XLA fails to CSE/hoist it and
+        # the extra materializations cost ~40% of the smoothing phase).
         ns_star = min(n, _pallas_nsweeps())
         pf = self._pallas_smooth_fn(level, ns_star)
         if pf is not None:
+            from ..ops import pallas_fused
+
+            C = pallas_fused.mask_code_jax(self.h.shapes[level], self.bcs)
             q, rem = divmod(n, ns_star)
             if q > 1:
-                u = lax.fori_loop(0, q, lambda _, v: pf(v, rhs), u)
+                u = lax.fori_loop(0, q, lambda _, v: pf(v, rhs, C), u)
             elif q == 1:
-                u = pf(u, rhs)
+                u = pf(u, rhs, C)
             if rem:
                 pr = self._pallas_smooth_fn(level, rem)
                 if pr is not None:
-                    u = pr(u, rhs)
+                    u = pr(u, rhs, C)
                 else:  # tiny remainder falls back to one XLA pass
                     u = lax.fori_loop(
                         0, rem, lambda _, v: self.t_sweep(v, rhs, level), u

@@ -142,7 +142,10 @@ class PoissonBVP:
         # right-hand side inside the program (saves a full-grid buffer +
         # upload for the common rhs == 0 solves).
         self._solve_jit_donate = jax.jit(self._solve_impl, donate_argnums=(0,))
-        self._solve_zero_rhs_jit = jax.jit(self._solve_impl_zero_rhs, donate_argnums=(0,))
+        self._solve_zero_rhs_jit = jax.jit(self._solve_impl_zero_rhs)
+        self._solve_zero_rhs_jit_donate = jax.jit(
+            self._solve_impl_zero_rhs, donate_argnums=(0,)
+        )
         self._solve_hist_jit = jax.jit(self._solve_hist_impl, static_argnums=(6,))
         self._solve_batch_jit = None
         self._vcycle_jit = jax.jit(self._inner.t_vcycle)
@@ -481,7 +484,12 @@ class PoissonBVP:
             )
             du, it, ierr, hist, flag = jax.device_get((du, it, ierr, hist, flag))
         elif zero_rhs:
-            u, du, it, ierr, flag = self._solve_zero_rhs_jit(u0, *scalars)
+            fn = (
+                self._solve_zero_rhs_jit_donate
+                if donate
+                else self._solve_zero_rhs_jit
+            )
+            u, du, it, ierr, flag = fn(u0, *scalars)
             du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         else:
             rhs = jnp.asarray(rhs, dtype=self.outer_dtype)

@@ -459,14 +459,26 @@ class ShardedPoissonBVP(ShardStencilKernels):
             partsvec[ax] = nm
         spec = P(*partsvec)
         self.sharding = NamedSharding(mesh, spec)
-        self._solve_jit = jax.jit(
-            shard_map(
-                self._local_solve,
-                mesh=mesh,
-                in_specs=(spec, spec, P(), P(), P(), P()),
-                out_specs=(spec, P(), P(), P(), P()),
-            )
+        solve_sm = shard_map(
+            self._local_solve,
+            mesh=mesh,
+            in_specs=(spec, spec, P(), P(), P(), P()),
+            out_specs=(spec, P(), P(), P(), P()),
         )
+        self._solve_jit = jax.jit(solve_sm)
+        self._solve_jit_donate = jax.jit(solve_sm, donate_argnums=(0, 1))
+        # Zero-rhs variant: the right-hand side is materialized per shard
+        # inside the program, so the common rhs == 0 solves (the three 3D
+        # component solves) never allocate/upload a full-grid buffer —
+        # ~1 GB of dead traffic per component at 512^3 f64.
+        zero_sm = shard_map(
+            self._local_solve_zero_rhs,
+            mesh=mesh,
+            in_specs=(spec, P(), P(), P(), P()),
+            out_specs=(spec, P(), P(), P(), P()),
+        )
+        self._solve_zero_jit = jax.jit(zero_sm)
+        self._solve_zero_jit_donate = jax.jit(zero_sm, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     # Geometry hooks for the shared ShardStencilKernels primitives.
@@ -648,6 +660,10 @@ class ShardedPoissonBVP(ShardStencilKernels):
             u_new = u_new - mean
         return u_new, noconv
 
+    def _local_solve_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
+        rhs = self._vary(jnp.zeros(u0.shape, dtype=u0.dtype))
+        return self._local_solve(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact)
+
     def _local_solve(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         vc_tol = vc_tol.astype(self.dtype)
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
@@ -674,18 +690,47 @@ class ShardedPoissonBVP(ShardStencilKernels):
         )
         return u, du, it, ierr, self._pall_any(flag)
 
-    def solve(self, u0, rhs, *, name: str = "") -> Tuple[jax.Array, SolveInfo]:
+    def solve(
+        self,
+        u0,
+        rhs,
+        *,
+        name: str = "",
+        zero_rhs: bool = False,
+        donate: bool = False,
+        output_dtype=None,
+    ) -> Tuple[jax.Array, SolveInfo]:
+        """Sharded solve.  ``zero_rhs`` materializes rhs per shard inside
+        the program (no full-grid buffer/upload); ``donate`` invalidates
+        the caller's input buffers; ``output_dtype`` casts the solution
+        on device before returning (e.g. float32 results from an f64
+        solve — halves the result's memory and download)."""
+        from .multihost import put_global
+
         o = self.options
-        u0 = jax.device_put(jnp.asarray(u0, self.dtype), self.sharding)
-        rhs = jax.device_put(jnp.asarray(rhs, self.dtype), self.sharding)
-        u, du, it, ierr, flag = self._solve_jit(
-            u0,
-            rhs,
+        # Multi-host: keep inputs host-side (numpy) so only this
+        # process's shards are materialized on device.
+        conv = (
+            (lambda a: jnp.asarray(a, self.dtype))
+            if jax.process_count() == 1
+            else (lambda a: np.asarray(a, self.dtype))
+        )
+        u0 = put_global(conv(u0), self.sharding)
+        scalars = (
             jnp.asarray(o.vc_tol, jnp.float64),
             jnp.asarray(o.ex_tol, jnp.float64),
             jnp.int32(o.ncycles_max),
             jnp.int32(o.niterex_max),
         )
+        if zero_rhs:
+            fn = self._solve_zero_jit_donate if donate else self._solve_zero_jit
+            u, du, it, ierr, flag = fn(u0, *scalars)
+        else:
+            rhs = put_global(conv(rhs), self.sharding)
+            fn = self._solve_jit_donate if donate else self._solve_jit
+            u, du, it, ierr, flag = fn(u0, rhs, *scalars)
+        if output_dtype is not None and jnp.dtype(output_dtype) != u.dtype:
+            u = u.astype(output_dtype)
         du, it, ierr, flag = jax.device_get((du, it, ierr, flag))
         info = SolveInfo(
             ierr=int(ierr),

@@ -201,7 +201,7 @@ def compute_vector_potential(
         if sbvp is not None:
             us, infos = [], []
             for u0, r, f in zip(u0s, rhss, faces_in_group):
-                u, info = sbvp.solve(u0, r, name=f"chi_face{f}")
+                u, info = sbvp.solve(u0, r, donate=True, name=f"chi_face{f}")
                 us.append(u)
                 infos.append(info)
             for k, f in enumerate(faces_in_group):
@@ -276,7 +276,9 @@ def compute_vector_potential(
                 _dist_bvp(hierarchy, bcs, opts, dist) if dist is not None else None
             )
             if sbvp is not None:
-                u, info = sbvp.solve(u0, jnp.zeros_like(u0), name=nm)
+                u, info = sbvp.solve(
+                    u0, None, zero_rhs=True, donate=True, name=nm
+                )
             else:
                 bvp = get_poisson_bvp(hierarchy, bcs, opts)
                 u, info = bvp.solve(
@@ -288,6 +290,7 @@ def compute_vector_potential(
                     niterex_max=options.niterex_max,
                     name=nm,
                     zero_rhs=True,
+                    donate=True,  # u0 is pipeline-internal
                 )
             comp_info.append(info)
             # Early downcast when float32 outputs are requested: frees the

@@ -374,3 +374,33 @@ def test_distributed_vector_potential():
     assert i_d == 0 and i_ref == 0
     np.testing.assert_allclose(A_d, A_ref, rtol=0, atol=1e-8)
     np.testing.assert_allclose(B_d, B_ref, rtol=0, atol=1e-7)
+
+
+def test_sharded_zero_rhs_donate_output_dtype():
+    """ShardedPoissonBVP feature parity with the single-device solve:
+    zero_rhs materializes the RHS in-program, donate invalidates inputs
+    without changing results, output_dtype casts on device."""
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    mesh = make_mesh(4)
+    n = 16
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("N", "N"), ("D", "D"), ("D", "D"))
+    opts = Options(precision="mixed", vc_tol=1e-8, ncycles_max=40)
+    sbvp = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
+    u0 = np.zeros((n, n, n))
+    u0[:, 0, :] = 1.0  # inhomogeneous Dirichlet data carried in u0
+    u_a, ia = sbvp.solve(u0, np.zeros_like(u0))
+    u_b, ib = sbvp.solve(u0, None, zero_rhs=True)
+    np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_b))
+    assert ia.cycles == ib.cycles
+    # donate: same result; the donated device buffer must not be reused
+    u_c, ic = sbvp.solve(u0, None, zero_rhs=True, donate=True)
+    np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_c))
+    # output_dtype: on-device downcast
+    u_d, _ = sbvp.solve(u0, None, zero_rhs=True, output_dtype="float32")
+    assert u_d.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(u_d), np.asarray(u_a).astype(np.float32), rtol=0, atol=0
+    )
