@@ -50,7 +50,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencils import BCS, first_color_parity, is_all_neumann
 
-__all__ = ["fused_smooth_3d", "mask_code", "supported", "pick_tiles"]
+__all__ = [
+    "fused_smooth_3d",
+    "fused_smooth_3d_batched",
+    "mask_code",
+    "mask_code_jax",
+    "supported",
+    "pick_tiles",
+]
 
 # VMEM budget for the window buffers (per-core VMEM is ~16 MB; leave room
 # for the output pipeline and compiler scratch).
@@ -197,12 +204,27 @@ def _fused_kernel(
     w: Tuple[float, float, float],
     w0: float,
     nsweeps: int,
+    nb: int = 0,
 ):
-    i = jnp.int32(pl.program_id(0))
-    j = jnp.int32(pl.program_id(1))
-    gy_count = jnp.int32(pl.num_programs(1))
-    step = i * gy_count + j
-    total = jnp.int32(pl.num_programs(0)) * gy_count
+    # nb = 0: grid (gz, gy) over one volume; nb > 0: grid (nb, gz, gy)
+    # over a stacked (nb, nz, ny, nx) state with per-lane windows/masks
+    # (the batched multi-BC component solves, mg/batched.py).
+    if nb:
+        b = jnp.int32(pl.program_id(0))
+        i = jnp.int32(pl.program_id(1))
+        j = jnp.int32(pl.program_id(2))
+        gz_count = jnp.int32(pl.num_programs(1))
+        gy_count = jnp.int32(pl.num_programs(2))
+        step = (b * gz_count + i) * gy_count + j
+        total = jnp.int32(nb) * gz_count * gy_count
+    else:
+        b = jnp.int32(0)
+        i = jnp.int32(pl.program_id(0))
+        j = jnp.int32(pl.program_id(1))
+        gz_count = jnp.int32(pl.num_programs(0))
+        gy_count = jnp.int32(pl.num_programs(1))
+        step = i * gy_count + j
+        total = gz_count * gy_count
     W_z, W_y = tz + 2 * H_z, ty + 2 * H_y
 
     def _clip(v, lo, hi):
@@ -217,9 +239,11 @@ def _fused_kernel(
         sy = _clip(jj * jnp.int32(ty) - jnp.int32(H_y), 0, ny - W_y)
         return sz, pl.multiple_of(sy, 8)
 
-    def dmas(slot, ii, jj):
+    def dmas(slot, bb, ii, jj):
         sz, sy = window_starts(ii, jj)
         window = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+        if nb:
+            window = (bb,) + window
         return [
             pltpu.make_async_copy(src.at[window], buf.at[slot], sems.at[slot, jnp.int32(k)])
             for k, (src, buf) in enumerate(
@@ -231,18 +255,21 @@ def _fused_kernel(
 
     @pl.when(step == jnp.int32(0))
     def _():
-        for d in dmas(jnp.int32(0), i, j):
+        for d in dmas(jnp.int32(0), b, i, j):
             d.start()
 
     @pl.when(step + jnp.int32(1) < total)
     def _():
         nstep = (step + jnp.int32(1)).astype(jnp.int32)
-        ni = nstep // gy_count
-        nj = lax.rem(nstep, gy_count)
-        for d in dmas(lax.rem(nstep, jnp.int32(2)), ni, nj):
+        per = gz_count * gy_count
+        nb_ = nstep // per
+        r = lax.rem(nstep, per)
+        ni = r // gy_count
+        nj = lax.rem(r, gy_count)
+        for d in dmas(lax.rem(nstep, jnp.int32(2)), nb_, ni, nj):
             d.start()
 
-    for d in dmas(slot, i, j):
+    for d in dmas(slot, b, i, j):
         d.wait()
 
     U = u_buf[slot]
@@ -277,7 +304,7 @@ def _fused_kernel(
     y0 = j * jnp.int32(ty)
     out_dma = pltpu.make_async_copy(
         u_buf.at[slot, pl.ds(z0 - sz, tz), pl.ds(pl.multiple_of(y0 - sy, 8), ty), :],
-        out_ref,
+        out_ref.at[0] if nb else out_ref,
         sems.at[slot, jnp.int32(3)],
     )
     out_dma.start()
@@ -365,3 +392,66 @@ def fused_smooth_3d(
         return call_jit(u, rhs, C_dev)
 
     return f
+
+
+def fused_smooth_3d_batched(
+    bcs_list,
+    dq,
+    shape,
+    nsweeps: int,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Batched form of ``fused_smooth_3d`` for B stacked problems with
+    per-lane BCs (mg/batched.MultiBCSolver): grid (B, gz, gy), per-lane
+    windows and mask codes.  Returns call(u, rhs, C) over (B, nz, ny, nx)
+    arrays (C from stacked mask_code/mask_code_jax per lane), or None."""
+    bcs_list = tuple(tuple(tuple(b) for b in bcs) for bcs in bcs_list)
+    shape = tuple(int(s) for s in shape)
+    if not all(
+        supported(shape, bcs, dtype, nsweeps, interpret=interpret)
+        for bcs in bcs_list
+    ):
+        return None
+    nb = len(bcs_list)
+    nz, ny, nx = shape
+    H_z, H_y = _halos(nsweeps)
+    tz, ty = pick_tiles(shape, nsweeps)
+    dq = np.asarray(dq, dtype=np.float64)
+    w = tuple(float(x) for x in 1.0 / dq**2)
+    w0 = float(1.0 / (2.0 * sum(w)))
+
+    kernel = functools.partial(
+        _fused_kernel,
+        nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, H_z=H_z, H_y=H_y, w=w, w0=w0,
+        nsweeps=nsweeps, nb=nb,
+    )
+    grid = (nb, nz // tz, ny // ty)
+    W_z, W_y = tz + 2 * H_z, ty + 2 * H_y
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tz, ty, nx),
+            lambda b, i, j: (b, i, j, jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, nz, ny, nx), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * nb * nsweeps * 11 * nz * ny * nx),
+            bytes_accessed=int(4 * 4 * nb * nz * ny * nx),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )

@@ -78,6 +78,11 @@ class Options:
     #: (half the HBM traffic per sweep, rounding-identical results);
     #: "masked" uses the dense masked-update formulation.
     smoother: str = "auto"
+    #: Solve the three 3D component problems (different BCs per lane) as
+    #: ONE lane-masked program (mg/batched.MultiBCSolver) instead of
+    #: sequentially: "auto"/"on"/"off".  Identical per-lane iterate
+    #: sequences; amortizes coarse-level latency and dispatch.
+    batch_components: str = "auto"
     #: dtype of the returned A and B arrays. "float64" matches the
     #: reference ABI exactly; "float32" halves output memory/transfer —
     #: safe for production use since the outputs' truncation error is far

@@ -109,6 +109,7 @@ def _dist_bvp(hierarchy, bcs, options, dist):
 from ..utils.caching import BoundedCache as _BoundedCache
 
 _DIST_BVP_CACHE: _BoundedCache = _BoundedCache(maxsize=32)
+_MBS_CACHE: _BoundedCache = _BoundedCache(maxsize=16)
 
 
 def compute_vector_potential(
@@ -301,11 +302,70 @@ def compute_vector_potential(
             comps.append(u)
         return jnp.stack(comps)
 
+    def _solve_components_batched():
+        """All three component solves in ONE lane-masked program
+        (mg/batched.MultiBCSolver) — per-lane iterate sequences identical
+        to the sequential path."""
+        from ..mg.batched import MultiBCSolver
+        import dataclasses as _dc
+
+        u0s = _phase_at_u0(
+            tuple(chi), tuple(hs), signs, (nz, ny, nx), None,
+            jnp.zeros((), dtype=dtype),
+        )
+        hierarchy = GridHierarchy.from_mesh((z, y, x))
+        bcs_list = [
+            tuple(("N", "N") if (2 - axis) == comp else ("D", "D") for axis in range(3))
+            for comp in range(3)
+        ]
+        key = (hierarchy, tuple(bcs_list), _dc.astuple(options))
+        mbs = _MBS_CACHE.get(key)
+        if mbs is None:
+            mbs = MultiBCSolver(hierarchy, bcs_list, options)
+            _MBS_CACHE.put(key, mbs)
+        u, infos = mbs.solve(jnp.stack(u0s), names=["Ax", "Ay", "Az"])
+        comp_info.extend(infos)
+        if jnp.dtype(getattr(options, "output_dtype", "float64")) == jnp.float32:
+            u = u.astype(jnp.float32)
+        return u
+
     _dbg(options, "Solve BVP 3D...")
+    bc_mode = getattr(options, "batch_components", "auto")
+    batch_ok = (
+        bc_mode != "off"
+        and not options.per_face
+        and dist is None
+        and options.honor_ms_for_az  # per-lane ms differs otherwise (Q3)
+    )
+    if batch_ok and bc_mode == "auto":
+        # "auto" batches only when the fused Pallas smoother covers the
+        # fine level for every lane: without it the batched solver's
+        # masked smoothing is slower than the sequential color-compact
+        # path at large unaligned sizes (e.g. 220^3).
+        from ..ops import pallas_fused
+        from ..utils.compat import resolve_use_pallas
+
+        up = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
+        bcs3 = [
+            tuple(("N", "N") if (2 - axis) == comp else ("D", "D") for axis in range(3))
+            for comp in range(3)
+        ]
+        batch_ok = (
+            up != "off"
+            and mode != "fp64"
+            and all(
+                pallas_fused.supported(
+                    (nz, ny, nx), b3, jnp.float32, 2, interpret=(up == "interpret")
+                )
+                for b3 in bcs3
+            )
+        )
     if options.per_face:
         A = jnp.zeros((3, nz, ny, nx), dtype=dtype)
         for f in range(6):
             A = A + _solve_components(f)
+    elif batch_ok:
+        A = _solve_components_batched()
     else:
         A = _solve_components(None)
 
