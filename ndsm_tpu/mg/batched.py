@@ -387,9 +387,12 @@ class MultiBCSolver:
                 "ndsm_tpu: batched Pallas smoother failed to compile for "
                 f"{self.h.fine_shape}; falling back to the XLA smoother"
             )
-            fb = MultiBCSolver(
-                self.h, self.bcs_list, _dc.replace(o, use_pallas="off")
-            )
+            fb = getattr(self, "_fallback", None)
+            if fb is None:
+                fb = MultiBCSolver(
+                    self.h, self.bcs_list, _dc.replace(o, use_pallas="off")
+                )
+                self._fallback = fb
             return fb.solve(u0_stack, names=names)
         du, it, ierr, flag = jax.device_get((du, it, ierr, flag))
         wall = _time.perf_counter() - t0

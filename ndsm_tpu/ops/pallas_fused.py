@@ -304,7 +304,7 @@ def _fused_kernel(
     y0 = j * jnp.int32(ty)
     out_dma = pltpu.make_async_copy(
         u_buf.at[slot, pl.ds(z0 - sz, tz), pl.ds(pl.multiple_of(y0 - sy, 8), ty), :],
-        out_ref.at[0] if nb else out_ref,
+        out_ref.at[jnp.int32(0)] if nb else out_ref,  # int32: x64 weak-i64 trap
         sems.at[slot, jnp.int32(3)],
     )
     out_dma.start()
@@ -437,8 +437,10 @@ def fused_smooth_3d_batched(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
+            # every index must be int32 (weak-int64 under x64 fails
+            # Mosaic's memref_slice verification)
             (1, tz, ty, nx),
-            lambda b, i, j: (b, i, j, jnp.int32(0)),
+            lambda b, i, j: (jnp.int32(b), jnp.int32(i), jnp.int32(j), jnp.int32(0)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb, nz, ny, nx), jnp.float32),
