@@ -335,8 +335,11 @@ def fused_smooth_3d(
     H_z, H_y = _halos(nsweeps)
     tz, ty = pick_tiles(shape, nsweeps)
     dq = np.asarray(dq, dtype=np.float64)
-    w = tuple(float(x) for x in 1.0 / dq**2)
-    w0 = float(1.0 / (2.0 * sum(w)))
+    # Mimic ops.stencils.stencil_weights EXACTLY (w cast to f32, w0 from
+    # the f32 sum) so kernel sweeps are bitwise-equal to rb_sweep.
+    w32 = (1.0 / (dq * dq)).astype(np.float32)
+    w = tuple(float(x) for x in w32)
+    w0 = float(np.float32(1.0) / (np.float32(2.0) * np.sum(w32)))
 
     kernel = functools.partial(
         _fused_kernel,
@@ -418,8 +421,11 @@ def fused_smooth_3d_batched(
     H_z, H_y = _halos(nsweeps)
     tz, ty = pick_tiles(shape, nsweeps)
     dq = np.asarray(dq, dtype=np.float64)
-    w = tuple(float(x) for x in 1.0 / dq**2)
-    w0 = float(1.0 / (2.0 * sum(w)))
+    # Mimic ops.stencils.stencil_weights EXACTLY (w cast to f32, w0 from
+    # the f32 sum) so kernel sweeps are bitwise-equal to rb_sweep.
+    w32 = (1.0 / (dq * dq)).astype(np.float32)
+    w = tuple(float(x) for x in w32)
+    w0 = float(np.float32(1.0) / (np.float32(2.0) * np.sum(w32)))
 
     kernel = functools.partial(
         _fused_kernel,
