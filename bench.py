@@ -118,7 +118,12 @@ def smoother_throughput(n: int, precision: str):
     bcs = (("D", "D"), ("D", "D"), ("N", "N"))
     bvp = PoissonBVP(h, bcs, Options(precision="mixed"))
     eng = bvp._inner  # float32 engine: the production smoothing path
-    backend = "pallas" if eng._pallas_smooth_fn(0, 2) is not None else "xla"
+    if eng._pallas_compact_fn(0, 2) is not None:
+        backend = "pallas-compact"
+    elif eng._pallas_smooth_fn(0, 2) is not None:
+        backend = "pallas-fused"
+    else:
+        backend = "xla"
 
     rng = np.random.default_rng(0)
     u = jnp.asarray(rng.standard_normal((m, m, m)), jnp.float32)

@@ -174,6 +174,70 @@ class MultiBCSolver:
         self._pallas_fns[key] = fn
         return fn
 
+    def _compact_fns(self, level: int, n: int):
+        """Per-lane color-compact Pallas smoothers (ops/pallas_compact),
+        or None when any lane is unsupported.  The lanes run SERIALLY
+        inside the one compiled program: each kernel call saturates HBM
+        bandwidth on its own (99% of the roofline at 256^3), so a
+        lane-fused kernel would gain nothing — batching's win here is one
+        program/dispatch, not lane parallelism."""
+        from .engine import _pallas_min_points
+
+        key = ("compact", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.inner_dtype == jnp.float32
+            and self.h.ndim == 3
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_compact
+
+            fns = tuple(
+                pallas_compact.compact_smooth_3d(
+                    bcs,
+                    self._dq[level],
+                    self.h.shapes[level],
+                    n,
+                    interpret=(self.use_pallas == "interpret"),
+                )
+                for bcs in self.bcs_list
+            )
+            if all(f is not None for f in fns):
+                fn = fns
+        self._pallas_fns[key] = fn
+        return fn
+
+    def _smooth_compact_lane(self, ub, rb, bcs, fns, b, level, n, ns_star):
+        """n compact-kernel sweeps on ONE lane's (nz, ny, nx) state —
+        identical expression sequence to MGEngine._t_smooth_pallas_compact
+        so lane iterates stay bitwise-equal to standalone solves."""
+        from ..ops import stencils_compact as sc
+
+        nx = ub.shape[-1]
+        R, B = sc.split_colors(ub)
+        rR, rB = sc.split_colors(rb)
+        f = fns[b]
+        q, rem = divmod(n, ns_star)
+        if q > 1:
+            R, B = lax.fori_loop(0, q, lambda _, c: f(c[0], c[1], rR, rB), (R, B))
+        elif q == 1:
+            R, B = f(R, B, rR, rB)
+        if rem:
+            fr = self._compact_fns(level, rem)
+            if fr is not None:
+                R, B = fr[b](R, B, rR, rB)
+            else:
+                def body(_, c):
+                    return sc.rb_sweep_compact(
+                        c[0], c[1], rR, rB, self._dq[level], bcs, nx
+                    )
+
+                R, B = lax.fori_loop(0, rem, body, (R, B))
+        return sc.merge_colors(R, B, nx)
+
     def _sweep(self, u, rhs, level):
         w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
 
@@ -195,6 +259,16 @@ class MultiBCSolver:
             from .engine import _pallas_nsweeps
 
             ns_star = min(n, _pallas_nsweeps())
+            fns = self._compact_fns(level, ns_star)
+            if fns is not None:
+                return jnp.stack(
+                    [
+                        self._smooth_compact_lane(
+                            u[b], rhs[b], self.bcs_list[b], fns, b, level, n, ns_star
+                        )
+                        for b in range(self.B)
+                    ]
+                )
             pf = self._pallas_fn(level, ns_star)
             if pf is not None:
                 from ..ops import pallas_fused

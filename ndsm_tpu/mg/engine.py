@@ -150,19 +150,22 @@ class MGEngine:
         dq = self._dq[level]
         return self._constrain(stencils.rb_sweep(u, rhs, dq, self.bcs), level)
 
-    def _pallas_smooth_fn(self, level: int, n: int):
-        """Fused Pallas smoother for (level, n sweeps), or None when the
-        configuration is unsupported (lazy-built, memoized)."""
-        key = (level, n)
-        if key in self._pallas_fns:
-            return self._pallas_fns[key]
-        fn = None
-        if (
+    def _pallas_eligible(self, level: int) -> bool:
+        return (
             self.use_pallas in ("on", "interpret")
             and self.dtype == jnp.float32
             and self.h.ndim == 3
             and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
-        ):
+        )
+
+    def _pallas_smooth_fn(self, level: int, n: int):
+        """Fused (dense) Pallas smoother for (level, n sweeps), or None
+        when the configuration is unsupported (lazy-built, memoized)."""
+        key = (level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level):
             from ..ops import pallas_fused
 
             shape = self.h.shapes[level]
@@ -179,6 +182,28 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
+    def _pallas_compact_fn(self, level: int, n: int):
+        """Color-compact Pallas smoother (ops/pallas_compact.py) for
+        (level, n sweeps), or None.  Preferred over the dense fused kernel
+        on eligible shapes: one stencil evaluation per point-sweep instead
+        of two, measured 99% vs 66% of the HBM roofline at 256^3 ns=2."""
+        key = ("compact", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level):
+            from ..ops import pallas_compact
+
+            fn = pallas_compact.compact_smooth_3d(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                n,
+                interpret=(self.use_pallas == "interpret"),
+            )
+        self._pallas_fns[key] = fn
+        return fn
+
     def t_smooth(self, u, rhs, level: int, nsweeps: int | None = None):
         n = self.ms if nsweeps is None else nsweeps
         if n == 0:
@@ -189,6 +214,9 @@ class MGEngine:
         # value — as a per-pass expression XLA fails to CSE/hoist it and
         # the extra materializations cost ~40% of the smoothing phase).
         ns_star = min(n, _pallas_nsweeps())
+        pc = self._pallas_compact_fn(level, ns_star)
+        if pc is not None:
+            return self._t_smooth_pallas_compact(u, rhs, level, n, ns_star, pc)
         pf = self._pallas_smooth_fn(level, ns_star)
         if pf is not None:
             from ..ops import pallas_fused
@@ -219,6 +247,36 @@ class MGEngine:
         return lax.fori_loop(
             0, n, lambda _, v: self.t_sweep(v, rhs, level), u
         )
+
+    def _t_smooth_pallas_compact(self, u, rhs, level: int, n: int, ns_star: int, pc):
+        """n sweeps via the color-compact Pallas kernel: split the colors
+        once, run ceil(n/ns_star) fused passes on the half-width state (a
+        remainder pass uses its own kernel width, or XLA compact sweeps
+        when that width is unsupported), merge once.  Sweep-for-sweep
+        bitwise-equal to the XLA compact path (tests/test_pallas_compact)."""
+        nx = u.shape[-1]
+        dq = self._dq[level]
+        R, B = stencils_compact.split_colors(u)
+        rhs_R, rhs_B = stencils_compact.split_colors(rhs)
+        q, rem = divmod(n, ns_star)
+        if q > 1:
+            R, B = lax.fori_loop(
+                0, q, lambda _, c: pc(c[0], c[1], rhs_R, rhs_B), (R, B)
+            )
+        elif q == 1:
+            R, B = pc(R, B, rhs_R, rhs_B)
+        if rem:
+            pr = self._pallas_compact_fn(level, rem)
+            if pr is not None:
+                R, B = pr(R, B, rhs_R, rhs_B)
+            else:
+                def body(_, c):
+                    return stencils_compact.rb_sweep_compact(
+                        c[0], c[1], rhs_R, rhs_B, dq, self.bcs, nx
+                    )
+
+                R, B = lax.fori_loop(0, rem, body, (R, B))
+        return stencils_compact.merge_colors(R, B, nx)
 
     def _t_smooth_compact(self, u, rhs, level: int, n: int):
         """n sweeps in color-compact form: split once, sweep on the

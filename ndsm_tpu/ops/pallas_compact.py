@@ -340,7 +340,7 @@ def compact_smooth_3d(
     )
     grid = (nz // tz, ny // ty)
     half_shape = (nz, ny, nxc)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
@@ -364,3 +364,9 @@ def compact_smooth_3d(
         ),
         interpret=interpret,
     )
+
+    def apply(R, B, rhs_R, rhs_B):
+        out = call(R, B, rhs_R, rhs_B)
+        return out[0], out[1]
+
+    return apply

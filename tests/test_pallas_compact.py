@@ -89,3 +89,81 @@ def test_pick_tiles_compact_properties():
     assert 256 % tz == 0 and 256 % ty == 0
     assert tz % 2 == 0 and ty % 8 == 0
     assert 4 * 2 * wz * wy * 128 * 4 <= pc._VMEM_BUDGET
+
+
+def test_engine_wiring_compact_interpret(monkeypatch):
+    """With use_pallas active the engine prefers the color-compact kernel
+    (interpret mode on CPU) and the full solve matches the XLA-only solve
+    bitwise (the kernel sweeps are bitwise-equal to the compact XLA
+    sweeps the production path otherwise uses)."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.mg.poisson import PoissonBVP
+
+    n = 24
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    U = np.sin(np.pi * X) * np.sin(np.pi * Y) * np.cos(np.pi * Z)
+    rhs = -3 * np.pi**2 * U
+    bcs = (("N", "N"), ("D", "D"), ("D", "D"))
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+
+    def solve(pallas_env):
+        if pallas_env:
+            monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+            monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+        else:
+            monkeypatch.delenv("NDSM_TPU_PALLAS", raising=False)
+            monkeypatch.delenv("NDSM_TPU_PALLAS_MIN_POINTS", raising=False)
+        bvp = PoissonBVP(
+            h, bcs, Options(precision="fp32", vc_tol=1e-5, ncycles_max=12, ms=3)
+        )
+        u, info = bvp.solve(np.zeros_like(rhs), rhs)
+        return bvp, np.asarray(u), info
+
+    bvp_p, u_p, info_p = solve(True)
+    assert bvp_p._inner._pallas_compact_fn(0, 2) is not None
+    bvp_x, u_x, info_x = solve(False)
+    assert bvp_x._inner._pallas_compact_fn(0, 2) is None
+    assert info_p.ierr == 0 and info_x.ierr == 0
+    assert info_p.cycles == info_x.cycles
+    np.testing.assert_array_equal(u_p, u_x)
+
+
+def test_batched_compact_matches_sequential(monkeypatch):
+    """MultiBCSolver with the per-lane compact kernels (interpret mode)
+    reproduces standalone pallas solves' iterates (lane freezing keeps
+    per-lane sequences identical to sequential solves)."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.mg.batched import MultiBCSolver
+    from ndsm_tpu.mg.poisson import PoissonBVP
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    COMPONENT_BCS = [
+        tuple(("N", "N") if (2 - ax) == c else ("D", "D") for ax in range(3))
+        for c in range(3)
+    ]
+    n = 16
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    rng = np.random.default_rng(3)
+    u0s = []
+    for c in range(3):
+        u0 = np.zeros((n, n, n))
+        if c != 2:
+            u0[0], u0[-1] = rng.standard_normal((n, n)), rng.standard_normal((n, n))
+        if c != 1:
+            u0[:, 0] = rng.standard_normal((n, n))
+        if c != 0:
+            u0[:, :, 0] = rng.standard_normal((n, n))
+        u0s.append(u0)
+    opts = Options(precision="mixed", ms=3)
+    mbs = MultiBCSolver(h, COMPONENT_BCS, opts)
+    assert mbs._compact_fns(0, 2) is not None
+    u_b, infos_b = mbs.solve(np.stack(u0s), names=["Ax", "Ay", "Az"])
+    for c in range(3):
+        bvp = PoissonBVP(h, COMPONENT_BCS[c], opts)
+        u_s, info_s = bvp.solve(u0s[c], None, zero_rhs=True)
+        assert infos_b[c].cycles == info_s.cycles
+        d = np.abs(np.asarray(u_b[c]) - np.asarray(u_s)).max()
+        assert d <= 5e-9, (c, d)
