@@ -118,7 +118,9 @@ def smoother_throughput(n: int, precision: str):
     bcs = (("D", "D"), ("D", "D"), ("N", "N"))
     bvp = PoissonBVP(h, bcs, Options(precision="mixed"))
     eng = bvp._inner  # float32 engine: the production smoothing path
-    if eng._pallas_compact_fn(0, 2) is not None:
+    if eng._pallas_zc_fn(0, 2) is not None:
+        backend = "pallas-zc"
+    elif eng._pallas_compact_fn(0, 2) is not None:
         backend = "pallas-compact"
     elif eng._pallas_smooth_fn(0, 2) is not None:
         backend = "pallas-fused"

@@ -174,6 +174,61 @@ class MultiBCSolver:
         self._pallas_fns[key] = fn
         return fn
 
+    def _zc_fns(self, level: int, n: int):
+        """Per-lane z-compact Pallas smoothers (ops/pallas_zc.py), or
+        None when any lane is unsupported.  Dense interface — lanes are
+        plain slices of the stacked state, no conversion passes."""
+        from .engine import _pallas_min_points
+
+        key = ("zc", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.inner_dtype == jnp.float32
+            and self.h.ndim == 3
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_zc
+
+            fns = tuple(
+                pallas_zc.zc_smooth_3d(
+                    bcs,
+                    self._dq[level],
+                    self.h.shapes[level],
+                    n,
+                    interpret=(self.use_pallas == "interpret"),
+                )
+                for bcs in self.bcs_list
+            )
+            if all(f is not None for f in fns):
+                fn = fns
+        self._pallas_fns[key] = fn
+        return fn
+
+    def _smooth_zc_lane(self, ub, rb, b, level, n, ns_star):
+        """n z-compact kernel sweeps on ONE lane's dense (nz, ny, nx)
+        state — same pass composition as MGEngine.t_smooth."""
+        fns = self._zc_fns(level, ns_star)
+        f = fns[b]
+        q, rem = divmod(n, ns_star)
+        if q > 8:
+            ub = lax.fori_loop(0, q, lambda _, v: f(v, rb), ub)
+        else:
+            for _ in range(q):
+                ub = f(ub, rb)
+        if rem:
+            fr = self._zc_fns(level, rem)
+            if fr is not None:
+                ub = fr[b](ub, rb)
+            else:
+                for _ in range(rem):
+                    ub = stencils.rb_sweep(
+                        ub, rb, self._dq[level], self.bcs_list[b]
+                    )
+        return ub
+
     def _compact_fns(self, level: int, n: int):
         """Per-lane color-compact Pallas smoothers (ops/pallas_compact),
         or None when any lane is unsupported.  The lanes run SERIALLY
@@ -238,6 +293,59 @@ class MultiBCSolver:
                 R, B = lax.fori_loop(0, rem, body, (R, B))
         return sc.merge_colors(R, B, nx)
 
+    def _zc_res_fns(self, level: int, n: int):
+        """Per-lane residual-fused z-compact smoothers, or None."""
+        from .engine import _pallas_min_points
+
+        key = ("zc_res", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.inner_dtype == jnp.float32
+            and self.h.ndim == 3
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_zc
+
+            fns = tuple(
+                pallas_zc.zc_smooth_residual_3d(
+                    bcs,
+                    self._dq[level],
+                    self.h.shapes[level],
+                    n,
+                    interpret=(self.use_pallas == "interpret"),
+                )
+                for bcs in self.bcs_list
+            )
+            if all(f is not None for f in fns):
+                fn = fns
+        self._pallas_fns[key] = fn
+        return fn
+
+    def _smooth_residual(self, u, rhs, level, n):
+        """n sweeps + residual per lane, residual fused into the final
+        pass when the kernels support it.  Returns (u, r)."""
+        if n >= 1 and u.dtype == jnp.float32:
+            from .engine import _pallas_nsweeps
+
+            ns_star = min(n, _pallas_nsweeps())
+            rem = n % ns_star
+            last = rem if rem else ns_star
+            fns = self._zc_res_fns(level, last)
+            if fns is not None:
+                head = n - last
+                if head:
+                    u = self._smooth(u, rhs, level, head)
+                outs = [fns[b](u[b], rhs[b]) for b in range(self.B)]
+                return (
+                    jnp.stack([o[0] for o in outs]),
+                    jnp.stack([o[1] for o in outs]),
+                )
+        u = self._smooth(u, rhs, level, n)
+        return u, self._residual(u, rhs, level)
+
     def _sweep(self, u, rhs, level):
         w, w0 = stencils.stencil_weights(self._dq[level], u.dtype)
 
@@ -259,6 +367,13 @@ class MultiBCSolver:
             from .engine import _pallas_nsweeps
 
             ns_star = min(n, _pallas_nsweeps())
+            if self._zc_fns(level, ns_star) is not None:
+                return jnp.stack(
+                    [
+                        self._smooth_zc_lane(u[b], rhs[b], b, level, n, ns_star)
+                        for b in range(self.B)
+                    ]
+                )
             fns = self._compact_fns(level, ns_star)
             if fns is not None:
                 return jnp.stack(
@@ -322,8 +437,7 @@ class MultiBCSolver:
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
         for l in range(L - 1):
-            ul = self._smooth(us[l], rhss[l], l, ms)
-            r = self._residual(ul, rhss[l], l)
+            ul, r = self._smooth_residual(us[l], rhss[l], l, ms)
             rhss[l + 1] = _apply_axis_matrices_b(r, self._restrict[l])
             us[l] = ul
             us[l + 1] = jnp.zeros(

@@ -182,6 +182,68 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
+    def _pallas_zc_fn(self, level: int, n: int):
+        """z-compact Pallas smoother (ops/pallas_zc.py) for (level, n
+        sweeps), or None.  The production TPU path: dense HBM interface
+        (no XLA split/merge passes — those run at ~10% of bandwidth on
+        this chip), one stencil evaluation per point-sweep in VMEM;
+        measured 94% of the HBM roofline at 256^3 ns=2."""
+        key = ("zc", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level):
+            from ..ops import pallas_zc
+
+            fn = pallas_zc.zc_smooth_3d(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                n,
+                interpret=(self.use_pallas == "interpret"),
+            )
+        self._pallas_fns[key] = fn
+        return fn
+
+    def _pallas_zc_res_fn(self, level: int, n: int):
+        """Residual-fused z-compact smoother: n sweeps + the residual of
+        the swept state in one HBM pass (ops/pallas_zc.py), or None."""
+        key = ("zc_res", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level):
+            from ..ops import pallas_zc
+
+            fn = pallas_zc.zc_smooth_residual_3d(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                n,
+                interpret=(self.use_pallas == "interpret"),
+            )
+        self._pallas_fns[key] = fn
+        return fn
+
+    def t_smooth_residual(self, u, rhs, level: int):
+        """ms pre-smooth sweeps + residual, fusing the residual into the
+        final smoothing pass when the kernel supports it (the reference
+        pairs relax+residual the same way, ndsm_multigrid_core.f90:482-560).
+        Returns (u_smoothed, residual)."""
+        n = self.ms
+        if n >= 1:
+            ns_star = min(n, _pallas_nsweeps())
+            rem = n % ns_star
+            last = rem if rem else ns_star
+            fz = self._pallas_zc_res_fn(level, last)
+            if fz is not None:
+                head = n - last
+                if head:
+                    u = self.t_smooth(u, rhs, level, nsweeps=head)
+                return fz(u, rhs)
+        u = self.t_smooth(u, rhs, level)
+        return u, self.t_residual(u, rhs, level)
+
     def _pallas_compact_fn(self, level: int, n: int):
         """Color-compact Pallas smoother (ops/pallas_compact.py) for
         (level, n sweeps), or None.  Preferred over the dense fused kernel
@@ -214,6 +276,26 @@ class MGEngine:
         # value — as a per-pass expression XLA fails to CSE/hoist it and
         # the extra materializations cost ~40% of the smoothing phase).
         ns_star = min(n, _pallas_nsweeps())
+        pz = self._pallas_zc_fn(level, ns_star)
+        if pz is not None:
+            q, rem = divmod(n, ns_star)
+            # Unroll small pass counts: a nested fori_loop around the
+            # pallas_call costs a full-array copy per iteration at the
+            # loop boundary (~1.4 ms per 256^3 pass on this chip).
+            if q > 8:
+                u = lax.fori_loop(0, q, lambda _, v: pz(v, rhs), u)
+            else:
+                for _ in range(q):
+                    u = pz(u, rhs)
+            if rem:
+                pr = self._pallas_zc_fn(level, rem)
+                if pr is not None:
+                    u = pr(u, rhs)
+                else:  # tiny remainder falls back to one XLA pass
+                    u = lax.fori_loop(
+                        0, rem, lambda _, v: self.t_sweep(v, rhs, level), u
+                    )
+            return u
         pc = self._pallas_compact_fn(level, ns_star)
         if pc is not None:
             return self._t_smooth_pallas_compact(u, rhs, level, n, ns_star, pc)
@@ -373,10 +455,10 @@ class MGEngine:
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
 
-        # Descend (fine_to_coarse, :482-560)
+        # Descend (fine_to_coarse, :482-560); residual fused into the
+        # final pre-smooth pass where the kernel supports it.
         for l in range(L - 1):
-            ul = self.t_smooth(us[l], rhss[l], l)
-            r = self.t_residual(ul, rhss[l], l)
+            ul, r = self.t_smooth_residual(us[l], rhss[l], l)
             rhss[l + 1] = self.t_restrict(r, l)
             us[l] = ul
             us[l + 1] = jnp.zeros(self.h.shapes[l + 1], dtype=self.dtype)
@@ -401,8 +483,7 @@ class MGEngine:
     def t_two_grid(self, u, rhs, ex_tol, nmax_exact):
         """Two-grid correction scheme for testing (reference: two_grid,
         ndsm_multigrid_core.f90:385-410).  Returns ``(u, coarse_noconv)``."""
-        ul = self.t_smooth(u, rhs, 0)
-        r = self.t_residual(ul, rhs, 0)
+        ul, r = self.t_smooth_residual(u, rhs, 0)
         rhs_c = self.t_restrict(r, 0)
         u_c = jnp.zeros(self.h.shapes[1], dtype=self.dtype)
         u_c, noconv = self.t_solve_exact(u_c, rhs_c, 1, ex_tol, nmax_exact)

@@ -1,0 +1,475 @@
+"""Pallas TPU kernel: multi-sweep red-black Gauss-Seidel, z-compact in
+VMEM with a DENSE HBM interface.
+
+Fourth-generation production smoother (replaces the reference hot loop
+fortran/ndsm_optimized.f90:40-191; supersedes ops/pallas_fused.py and
+ops/pallas_compact.py on eligible shapes).
+
+Why this formulation (measured, PERF_NOTES.md round 2):
+
+  * A dense two-color kernel (ops/pallas_fused.py) evaluates every
+    point twice per sweep — VPU-capped at ~66% of the HBM roofline.
+  * The x-compact kernel (ops/pallas_compact.py) fixes that (99% SoL
+    per pass) but needs color-split state in HBM, and the XLA-level
+    split/merge around each smooth call runs at ~10% of HBM bandwidth
+    on this chip (~1.4 ms per 256^3 array pass — XLA elementwise code
+    is nowhere near the DMA rate), eating the entire kernel win.
+  * This kernel takes DENSE u/rhs windows (no conversion passes in HBM
+    at all) and deinterleaves the colors in VMEM along **z**: for the
+    color containing (i+j+k)%2 == p0, each (j,k) column holds that
+    color at z-indices i = 2a + t(j,k), t = (p0+j+k)%2.  Splitting
+    along z instead of x means NO lane shuffles anywhere:
+
+      - deinterleave/interleave are leading-axis reshapes + selects
+        with a broadcast 2D parity mask,
+      - x/y neighbors of one color live at the SAME split-index of the
+        opposite color — plain lane/sublane shifts (with the edge
+        substitution that equals the boundary reflection),
+      - z neighbors are a clamp-shift along the split axis plus a
+        t-parity select; the clamp equals the index reflection at true
+        z faces (the ghost-plane argument of ops/stencils_compact.py).
+
+    Each point is evaluated exactly once per sweep.
+
+Pipeline (proven in ops/pallas_fused.py / ops/pallas_compact.py on the
+axon toolchain): (tz+2H_z, ty+2H_y, nx) windows of u and rhs stream
+through VMEM double-buffered; ``nsweeps`` complete sweeps run per HBM
+pass (halo H = 2*nsweeps); the central (tz, ty, nx) tile leaves by
+direct VMEM->HBM async copy, semaphore-drained before its slot's next
+fetch.  HBM traffic: 12 B/point per pass = 12/nsweeps B per point-sweep.
+
+Static-parity invariants: tz, H_z even and nz even make every clamped
+window z-start even (split-index parity is window-invariant); ty and
+H_y are multiples of 8 (sublane-aligned DMA) which also keeps the
+window y-start even (row parity of t is window-invariant).  Every
+in-kernel integer is an explicit jnp.int32 and masks are built from
+in-kernel broadcasted_iota (both verified on axon by the v3 kernel —
+the round-1 Mosaic iota crash does not hit this formulation).
+
+Update expression and operation order exactly match ops/stencils.rb_sweep
+(z-pair*wz + y-pair*wy + x-pair*wx, minus rhs, times w0, with the f32
+weight rounding of stencils.stencil_weights) — interpret-mode sweeps are
+BITWISE-equal to the masked XLA sweep (tests/test_pallas_zc.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencils import BCS, first_color_parity, is_all_neumann
+
+__all__ = [
+    "zc_smooth_3d",
+    "zc_smooth_residual_3d",
+    "zc_kernel_supported",
+    "pick_tiles_zc",
+]
+
+# VMEM for: u window + rhs window double-buffered (4 dense units) plus
+# the four half-width color work arrays (2 dense units) and compiler
+# scratch.  Per-core VMEM is ~16 MB.
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _halos(nsweeps: int, residual: bool = False) -> Tuple[int, int]:
+    """Dependency radius 2*nsweeps (+1 when the pass also computes the
+    residual of the swept state — neighbors must be post-sweep-valid);
+    z rounded to even (parity invariance), y to the 8-sublane alignment."""
+    H = 2 * nsweeps + (1 if residual else 0)
+    return H + (H % 2), -(-H // 8) * 8
+
+
+def pick_tiles_zc(
+    shape: Tuple[int, int, int], nsweeps: int, residual: bool = False
+) -> Optional[Tuple[int, int, int, int]]:
+    """(tz, ty, W_z, W_y): tile divisors of (nz, ny) and window extents
+    maximizing the useful fraction under the VMEM budget.  tz even
+    (z-parity invariance), ty % 8 == 0; a window capped at the full axis
+    is halo-free there (its edges are true global faces)."""
+    nz, ny, nx = shape
+    H_z, H_y = _halos(nsweeps, residual)
+    best, best_frac = None, 0.0
+    for tz in range(2, min(nz, 256) + 1, 2):
+        if nz % tz:
+            continue
+        for ty in range(8, min(ny, 256) + 1, 8):
+            if ny % ty:
+                continue
+            wz = min(nz, tz + 2 * H_z)
+            wy = min(ny, ty + 2 * H_y)
+            if wz % 2:
+                continue  # parity-invariant E/O split needs even W_z
+            # 2 dense double-buffered windows + 4 half work arrays
+            if (2 * 2 + 2) * wz * wy * nx * 4 > _VMEM_BUDGET:
+                continue
+            frac = (tz * ty) / (wz * wy)
+            if frac > best_frac:
+                best_frac, best = frac, (tz, ty, wz, wy)
+    return best
+
+
+def zc_kernel_supported(
+    shape, bcs: BCS, dtype, nsweeps: int, interpret: bool = False,
+    residual: bool = False,
+) -> bool:
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if is_all_neumann(bcs):
+        return False  # per-sweep global mean: XLA path
+    if nsweeps < 1 or nsweeps > 8:
+        return False
+    nz, ny, nx = shape
+    if nz % 2:
+        return False  # even nz: clamp == reflection at both z faces
+    if not interpret and nx % 128 != 0:
+        return False  # lane-aligned dense DMA rows
+    if not interpret and ny % 8 != 0:
+        return False  # sublane-aligned window clamps
+    return pick_tiles_zc(tuple(shape), nsweeps, residual) is not None
+
+
+def _shift_edge(v, axis: int):
+    """(lower, upper) neighbors along ``axis`` with edge substitution to
+    index 1 / n-2 — identical to ops/stencils._neighbors (the boundary
+    reflection; interior window edges land in the discarded halo)."""
+    n = v.shape[axis]
+    lo = jnp.concatenate(
+        [lax.slice_in_dim(v, 1, 2, axis=axis), lax.slice_in_dim(v, 0, n - 1, axis=axis)],
+        axis=axis,
+    )
+    hi = jnp.concatenate(
+        [lax.slice_in_dim(v, 1, n, axis=axis), lax.slice_in_dim(v, n - 2, n - 1, axis=axis)],
+        axis=axis,
+    )
+    return lo, hi
+
+
+def _shift_clamp_z(v, delta: int):
+    """Shift by +-1 along the split-z axis with edge clamp; for even nz
+    the clamp equals the z-face reflection (see module docstring)."""
+    n = v.shape[0]
+    if delta == -1:
+        return jnp.concatenate([v[0:1], v[0 : n - 1]], axis=0)
+    return jnp.concatenate([v[1:n], v[n - 1 : n]], axis=0)
+
+
+def _zc_kernel(
+    u_hbm, rhs_hbm,
+    *refs,
+    nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
+    H_z: int, H_y: int,
+    w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
+    bcs: BCS, residual: bool = False,
+):
+    if residual:
+        out_ref, res_ref, bufU, bufR, wR, wB, wrR, wrB, in_sems, out_sems = refs
+    else:
+        out_ref, bufU, bufR, wR, wB, wrR, wrB, in_sems, out_sems = refs
+        res_ref = None
+    i = jnp.int32(pl.program_id(0))
+    j = jnp.int32(pl.program_id(1))
+    gy = jnp.int32(pl.num_programs(1))
+    step = i * gy + j
+    total = jnp.int32(pl.num_programs(0)) * gy
+    i32 = jnp.int32
+    W_zc = W_z // 2
+
+    def _clip(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, i32(lo)), i32(hi))
+
+    def window_starts(ii, jj):
+        sz = _clip(ii * i32(tz) - i32(H_z), 0, nz - W_z)
+        sy = _clip(jj * i32(ty) - i32(H_y), 0, ny - W_y)
+        return sz, pl.multiple_of(sy, 8)
+
+    def fetch(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        win = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+        return [
+            pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
+            for k, (src, buf) in enumerate(((u_hbm, bufU), (rhs_hbm, bufR)))
+        ]
+
+    def out_dmas(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        z0 = ii * i32(tz)
+        y0 = pl.multiple_of(jj * i32(ty), 8)
+        src = (slot, pl.ds(z0 - sz, tz), pl.ds(pl.multiple_of(y0 - sy, 8), ty), slice(None))
+        dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
+        dmas = [
+            pltpu.make_async_copy(bufU.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
+        ]
+        if residual:
+            # the rhs window buffer is re-used for the interleaved
+            # residual once the sweeps have consumed it
+            dmas.append(
+                pltpu.make_async_copy(
+                    bufR.at[src], res_ref.at[dst], out_sems.at[slot, i32(1)]
+                )
+            )
+        return dmas
+
+    slot = lax.rem(step, i32(2))
+
+    @pl.when(step == i32(0))
+    def _():
+        for d in fetch(i32(0), i, j):
+            d.start()
+
+    @pl.when(step + i32(1) < total)
+    def _():
+        nstep = step + i32(1)
+        ni, nj = nstep // gy, lax.rem(nstep, gy)
+
+        # The next step reuses slot^1 — drain the out-copy step-1
+        # launched from it before overwriting the window.
+        @pl.when(step >= i32(1))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+        for d in fetch(lax.rem(nstep, i32(2)), ni, nj):
+            d.start()
+
+    for d in fetch(slot, i, j):
+        d.wait()
+
+    sz, sy = window_starts(i, j)
+
+    # ---- masks.  t(j,k) = (p0 + j + k) % 2 is the z-offset of the
+    # FIRST color in column (j,k); sy is even (ty, H_y % 8 == 0) so the
+    # window-local row parity equals the global one.  t1: t == 1.
+    ly = lax.broadcasted_iota(jnp.int32, (1, W_y, nx), 1)
+    kk = lax.broadcasted_iota(jnp.int32, (1, W_y, nx), 2)
+    az = lax.broadcasted_iota(jnp.int32, (W_zc, 1, 1), 0)
+    t1 = lax.rem(ly + kk + i32(p0), i32(2)) == i32(1)
+
+    def face_mask(own_is_first: bool):
+        """Update mask for one color: False on frozen Dirichlet-face
+        points.  z-face membership depends on the column offset
+        o = t (first color) / 1-t (second): i==0 needs o==0; i==nz-1
+        (odd, nz even) needs o==1."""
+        m = None
+
+        def _and(m, c):
+            return c if m is None else jnp.logical_and(m, c)
+
+        o1 = t1 if own_is_first else ~t1  # o == 1 mask
+        if bcs[2][0] == "D":
+            m = _and(m, kk != i32(0))
+        if bcs[2][1] == "D":
+            m = _and(m, kk != i32(nx - 1))
+        if bcs[1][0] == "D":
+            m = _and(m, ~jnp.logical_and(sy == i32(0), ly == i32(0)))
+        if bcs[1][1] == "D":
+            m = _and(m, ~jnp.logical_and(sy == i32(ny - W_y), ly == i32(W_y - 1)))
+        if bcs[0][0] == "D":
+            at0 = jnp.logical_and(sz == i32(0), az == i32(0))
+            m = _and(m, ~jnp.logical_and(at0, ~o1))
+        if bcs[0][1] == "D":
+            attop = jnp.logical_and(sz == i32(nz - W_z), az == i32(W_zc - 1))
+            m = _and(m, ~jnp.logical_and(attop, o1))
+        return m
+
+    M_R = face_mask(True)
+    M_B = face_mask(False)
+
+    # ---- deinterleave (leading-axis reshape + parity select; no lane
+    # crossing).  R holds the first color (z-offset t), B the second.
+    def split(ref):
+        v = ref[slot].reshape(W_zc, 2, W_y, nx)
+        E, O = v[:, 0], v[:, 1]
+        return jnp.where(t1, O, E), jnp.where(t1, E, O)
+
+    R0, B0 = split(bufU)
+    rR, rB = split(bufR)
+    wR[...] = R0
+    wB[...] = B0
+    wrR[...] = rR
+    wrB[...] = rB
+
+    def half(own, opp, rhs_own, mask, own_is_first: bool):
+        # z neighbors: clamp-shift + offset-parity select (see module
+        # docstring derivation); o1 == "own column offset is 1".
+        o1 = t1 if own_is_first else ~t1
+        dn = _shift_clamp_z(opp, -1)
+        up = _shift_clamp_z(opp, +1)
+        z_dn = jnp.where(o1, opp, dn)
+        z_up = jnp.where(o1, up, opp)
+        y_lo, y_hi = _shift_edge(opp, 1)
+        x_lo, x_hi = _shift_edge(opp, 2)
+        s = (
+            (z_dn + z_up) * jnp.float32(w[0])
+            + (y_lo + y_hi) * jnp.float32(w[1])
+            + (x_lo + x_hi) * jnp.float32(w[2])
+        )
+        unew = (s - rhs_own) * jnp.float32(w0)
+        return jnp.where(mask, unew, own)
+
+    rR = wrR[...]
+    rB = wrB[...]
+    for _ in range(nsweeps):
+        wR[...] = half(wR[...], wB[...], rR, M_R, True)
+        wB[...] = half(wB[...], wR[...], rB, M_B, False)
+
+    # ---- interleave back into the window buffer and ship the tile.
+    R, B = wR[...], wB[...]
+    E = jnp.where(t1, B, R)
+    O = jnp.where(t1, R, B)
+    bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
+
+    if residual:
+        # Residual of the swept state while it is in VMEM — mirrors
+        # stencils.poisson_residual: lap accumulated z,y,x as
+        # (lo - 2u + hi)*w_ax, r = rhs - lap, zeroed on Dirichlet-face
+        # points (face_mask == the per-color interior mask).
+        two = jnp.float32(2.0)
+
+        def res_half(own, opp, rhs_own, mask, own_is_first: bool):
+            o1 = t1 if own_is_first else ~t1
+            dn = _shift_clamp_z(opp, -1)
+            up = _shift_clamp_z(opp, +1)
+            z_dn = jnp.where(o1, opp, dn)
+            z_up = jnp.where(o1, up, opp)
+            y_lo, y_hi = _shift_edge(opp, 1)
+            x_lo, x_hi = _shift_edge(opp, 2)
+            lap = (
+                (z_dn - two * own + z_up) * jnp.float32(w[0])
+                + (y_lo - two * own + y_hi) * jnp.float32(w[1])
+                + (x_lo - two * own + x_hi) * jnp.float32(w[2])
+            )
+            r = rhs_own - lap
+            if mask is None:
+                return r
+            return jnp.where(mask, r, jnp.float32(0.0))
+
+        res_R = res_half(R, B, rR, M_R, True)
+        res_B = res_half(B, R, rB, M_B, False)
+        rE = jnp.where(t1, res_B, res_R)
+        rO = jnp.where(t1, res_R, res_B)
+        bufR[slot] = jnp.stack([rE, rO], axis=1).reshape(W_z, W_y, nx)
+
+    for d in out_dmas(slot, i, j):
+        d.start()
+
+    # Last two steps' copies have no later fetch to drain them.
+    @pl.when(step == total - i32(1))
+    def _():
+        for d in out_dmas(slot, i, j):
+            d.wait()
+
+        @pl.when(total >= i32(2))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+
+def _build(bcs, dq, shape, nsweeps, dtype, interpret, residual):
+    bcs = tuple(tuple(b) for b in bcs)
+    shape = tuple(int(s) for s in shape)
+    if not zc_kernel_supported(
+        shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual
+    ):
+        return None
+    nz, ny, nx = shape
+    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual)
+    # Mimic ops.stencils.stencil_weights EXACTLY (w cast to f32, w0 from
+    # the f32 sum) so kernel sweeps are bitwise-equal to rb_sweep.
+    dq = np.asarray(dq, dtype=np.float64)
+    w32 = (1.0 / (dq * dq)).astype(np.float32)
+    w = tuple(float(x) for x in w32)
+    w0 = float(np.float32(1.0) / (np.float32(2.0) * np.sum(w32)))
+    p0 = first_color_parity(bcs)
+
+    H_z, H_y = _halos(nsweeps, residual)
+    kernel = functools.partial(
+        _zc_kernel,
+        nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
+        H_z=H_z, H_y=H_y,
+        w=w, w0=w0, nsweeps=nsweeps, p0=p0, bcs=bcs, residual=residual,
+    )
+    grid = (nz // tz, ny // ty)
+    W_zc = W_z // 2
+    n_out = 2 if residual else 1
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * n_out
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, n_out)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int((nsweeps + (1 if residual else 0)) * 11 * nz * ny * nx),
+            bytes_accessed=int((3 + n_out - 1) * 4 * nz * ny * nx),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+def zc_smooth_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    nsweeps: int,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Build the z-compact smoother callable for one configuration, or
+    None if unsupported.  Returns call(u, rhs) -> u applying ``nsweeps``
+    red-black sweeps, equal to ``nsweeps`` applications of
+    stencils.rb_sweep (to 1 ulp; bitwise on the TPU toolchain)."""
+    call = _build(bcs, dq, shape, nsweeps, dtype, interpret, False)
+    if call is None:
+        return None
+
+    def apply(u, rhs):
+        return call(u, rhs)[0]
+
+    return apply
+
+
+def zc_smooth_residual_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    nsweeps: int,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """``nsweeps`` sweeps PLUS the residual of the swept state in the
+    same HBM pass: call(u, rhs) -> (u', r) with r equal to
+    stencils.poisson_residual(u', rhs) (to 1 ulp).  Saves the separate
+    residual pass of the V-cycle descent (reference pairs relax+residual
+    the same way, ndsm_multigrid_core.f90:482-560)."""
+    call = _build(bcs, dq, shape, nsweeps, dtype, interpret, True)
+    if call is None:
+        return None
+
+    def apply(u, rhs):
+        out = call(u, rhs)
+        return out[0], out[1]
+
+    return apply

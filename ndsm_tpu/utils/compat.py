@@ -40,10 +40,13 @@ def pallas_fused_usable() -> bool:
             return False
         import jax.numpy as jnp
 
-        from ..ops import pallas_fused, stencils
+        from ..ops import pallas_zc, stencils
 
-        # Lane-aligned last axis; ny admits ty+2*H_y tiles for both fused
+        # Lane-aligned last axis; ny admits the window tiles of both
         # widths the engine composes with (1 and 2 sweeps per pass).
+        # The z-compact kernel is the production path; fused/x-compact
+        # fallbacks share its toolchain requirements, and a per-solve
+        # compile-error fallback guards the residual cases.
         shape = (16, 32, 128)
         dq = np.array([0.1, 0.1, 0.1])
         bcs = (("D", "D"), ("D", "D"), ("N", "N"))
@@ -51,10 +54,10 @@ def pallas_fused_usable() -> bool:
         u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         for ns in (1, 2):
-            f = pallas_fused.fused_smooth_3d(bcs, dq, shape, ns)
+            f = pallas_zc.zc_smooth_3d(bcs, dq, shape, ns)
             if f is None:
                 return False
-            got = np.asarray(jax.block_until_ready(f(u, r)))
+            got = np.asarray(jax.block_until_ready(jax.jit(f)(u, r)))
             want = u
             for _ in range(ns):
                 want = stencils.rb_sweep(want, r, dq, bcs)

@@ -1,0 +1,143 @@
+"""z-compact Pallas smoother (ops/pallas_zc.py): interpreter-mode
+differential tests against the masked XLA sweep.  Equality is to 1 ulp
+(FMA-contraction differences between XLA programs), which the engine's
+solver tolerances absorb; the TPU compiled path is verified by the same
+comparison in the round-2 measurement scripts (PERF_NOTES.md)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ndsm_tpu.ops import pallas_zc as zc
+from ndsm_tpu.ops import stencils
+
+
+def _run(shape, bcs, ns, budget=None):
+    rng = np.random.default_rng(hash((shape, ns)) % 2**31)
+    dq = np.array([0.9, 1.1, 1.3])
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    old = zc._VMEM_BUDGET
+    if budget:
+        zc._VMEM_BUDGET = budget
+    try:
+        f = zc.zc_smooth_3d(bcs, dq, shape, ns, interpret=True)
+        assert f is not None
+        got = np.asarray(jax.jit(f)(u, r))
+        want = u
+        for _ in range(ns):
+            want = stencils.rb_sweep(want, r, dq, bcs)
+        np.testing.assert_allclose(
+            got, np.asarray(want), rtol=0, atol=ns * 1e-6
+        )
+    finally:
+        zc._VMEM_BUDGET = old
+
+
+@pytest.mark.parametrize(
+    "shape,bcs,ns",
+    [
+        ((16, 16, 32), (("D", "D"), ("D", "D"), ("D", "D")), 1),
+        ((12, 16, 32), (("D", "N"), ("N", "D"), ("D", "D")), 3),
+        ((16, 24, 32), (("N", "N"), ("D", "D"), ("N", "D")), 2),
+        ((16, 16, 32), (("D", "D"), ("D", "D"), ("D", "N")), 2),  # flips first color
+        ((14, 16, 48), (("N", "D"), ("D", "N"), ("N", "N")), 5),
+        ((16, 16, 33), (("D", "D"), ("D", "D"), ("D", "D")), 1),  # odd nx (interpret)
+    ],
+)
+def test_zc_kernel_matches_masked(shape, bcs, ns):
+    _run(shape, bcs, ns)
+
+
+@pytest.mark.parametrize(
+    "shape,bcs,ns",
+    [
+        ((32, 32, 128), (("D", "D"), ("N", "N"), ("D", "D")), 2),
+        ((48, 32, 128), (("D", "D"), ("D", "D"), ("N", "N")), 3),
+        ((32, 48, 128), (("N", "N"), ("D", "D"), ("D", "D")), 2),
+    ],
+)
+def test_zc_kernel_tiled_windows(shape, bcs, ns):
+    """Small VMEM budget -> real tiling: clamped windows, halos, the
+    double-buffered pipeline and out-DMA drains are all exercised."""
+    _run(shape, bcs, ns, budget=6 * 20 * 24 * 128 * 4 + 1)
+
+
+def test_unsupported_cases():
+    dq = np.ones(3)
+    f32 = jnp.float32
+    assert zc.zc_smooth_3d((("N", "N"),) * 3, dq, (32, 32, 128), 1) is None
+    assert not zc.zc_kernel_supported((32, 32, 128), (("D", "D"),) * 3, jnp.float64, 1)
+    assert not zc.zc_kernel_supported((32, 32, 120), (("D", "D"),) * 3, f32, 1)
+    assert not zc.zc_kernel_supported((31, 32, 128), (("D", "D"),) * 3, f32, 1)
+    # odd nz: clamp != reflection at the upper z face
+    assert not zc.zc_kernel_supported((33, 32, 128), (("D", "D"),) * 3, f32, 1)
+
+
+def test_pick_tiles_zc_properties():
+    t = zc.pick_tiles_zc((256, 256, 256), 2)
+    assert t is not None
+    tz, ty, wz, wy = t
+    assert 256 % tz == 0 and 256 % ty == 0
+    assert tz % 2 == 0 and ty % 8 == 0 and wz % 2 == 0
+    assert 6 * wz * wy * 256 * 4 <= zc._VMEM_BUDGET
+
+
+@pytest.mark.parametrize(
+    "shape,bcs,ns",
+    [
+        ((16, 16, 32), (("D", "D"), ("D", "D"), ("D", "D")), 1),
+        ((16, 24, 32), (("N", "N"), ("D", "D"), ("N", "D")), 2),
+        ((32, 32, 128), (("D", "D"), ("N", "N"), ("D", "D")), 2),
+    ],
+)
+def test_zc_residual_fused(shape, bcs, ns):
+    """call(u, rhs) -> (u', r) equals ns rb_sweeps + poisson_residual."""
+    rng = np.random.default_rng(hash((shape, ns)) % 2**31)
+    dq = np.array([0.9, 1.1, 1.3])
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    old = zc._VMEM_BUDGET
+    if shape[0] >= 32:
+        zc._VMEM_BUDGET = 6 * 28 * 32 * 128 * 4 + 1  # force tiling
+    try:
+        f = zc.zc_smooth_residual_3d(bcs, dq, shape, ns, interpret=True)
+        assert f is not None
+        gu, gr = jax.jit(f)(u, r)
+    finally:
+        zc._VMEM_BUDGET = old
+    want = u
+    for _ in range(ns):
+        want = stencils.rb_sweep(want, r, dq, bcs)
+    wr = stencils.poisson_residual(want, r, dq, bcs)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(want), rtol=0, atol=ns * 1e-6)
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(wr), rtol=0, atol=1e-5)
+
+
+def test_engine_residual_fusion_interpret(monkeypatch):
+    """The fused descent (smooth+residual kernel) gives the same solve
+    as the unfused XLA path to solver tolerance."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.mg.poisson import PoissonBVP
+
+    n = 24
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    U = np.sin(np.pi * X) * np.sin(np.pi * Y) * np.cos(np.pi * Z)
+    rhs = -3 * np.pi**2 * U
+    bcs = (("N", "N"), ("D", "D"), ("D", "D"))
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    bvp = PoissonBVP(h, bcs, Options(precision="fp32", vc_tol=1e-5, ms=3))
+    assert bvp._inner._pallas_zc_res_fn(0, 1) is not None
+    u_p, info_p = bvp.solve(np.zeros_like(rhs), rhs)
+
+    monkeypatch.delenv("NDSM_TPU_PALLAS")
+    monkeypatch.delenv("NDSM_TPU_PALLAS_MIN_POINTS")
+    bvp_x = PoissonBVP(h, bcs, Options(precision="fp32", vc_tol=1e-5, ms=3))
+    u_x, info_x = bvp_x.solve(np.zeros_like(rhs), rhs)
+    assert info_p.ierr == 0 and info_p.cycles == info_x.cycles
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=0, atol=5e-5)
