@@ -83,6 +83,11 @@ class MultiBCSolver:
         self.inner_dtype = jnp.float64 if self.mode == "fp64" else jnp.float32
         cs = getattr(options, "coarse_solver", "auto")
         self.coarse_direct = cs == "direct" or (cs == "auto" and self.mode != "fp64")
+        self._inner_max = (
+            max(1, int(getattr(options, "mixed_inner_max", 6)))
+            if self.mode != "fp64"
+            else 1
+        )
 
         # Per-level-pair transfer matrices (shared across lanes).
         self._interp: List[List[np.ndarray]] = []
@@ -487,27 +492,92 @@ class MultiBCSolver:
     def _cycle(self, u, rhs, ex_tol, nmax_exact):
         if self.mode == "fp64":
             return self._vcycle(u, rhs, ex_tol, nmax_exact)
-        # mixed: per-lane f64 defect correction around an f32 V-cycle
+        u_new, noconv, _, _ = self._mixed_group(
+            u, rhs, ex_tol, nmax_exact,
+            jnp.asarray(0.0, self.outer_dtype),
+            jnp.zeros((self.B,), jnp.int32), jnp.int32(1), 1,
+        )
+        return u_new, noconv
+
+    def _mixed_group(self, u, rhs, ex_tol, nmax_exact, vc_tol, it_vec, nmax, inner_max):
+        """Per-lane f64 defect correction supported by up to
+        ``inner_max`` f32 V-cycles (PoissonBVP._mixed_group with explicit
+        lane masks: a lane whose f32 iteration stalls or converges
+        freezes while the others keep cycling, so per-lane iterate
+        sequences match standalone solves).  Returns
+        (u_new, noconv, du_last, ncyc) with per-lane du/ncyc."""
+        B = self.B
+        shape1 = (B,) + (1,) * (u.ndim - 1)
         r0 = self._residual(u, rhs, 0)
-        s = jnp.max(jnp.abs(r0).reshape(self.B, -1), axis=1)
+        s = jnp.max(jnp.abs(r0).reshape(B, -1), axis=1)
         s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
-        sb = s_safe.reshape((self.B,) + (1,) * (u.ndim - 1))
+        sb = s_safe.reshape(shape1)
         r32 = (r0 / sb).astype(self.inner_dtype)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
         e0 = jnp.zeros(r32.shape, dtype=self.inner_dtype)
-        e32, noconv = self._vcycle(e0, r32, ex_tol_eff, nmax_exact)
-        e = e32.astype(self.outer_dtype) * sb
-        e = jnp.where(
-            (s > 0).reshape((self.B,) + (1,) * (u.ndim - 1)), e, jnp.zeros_like(e)
+        big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
+
+        def du_of(du_e):
+            d = s_safe * du_e.astype(self.outer_dtype)
+            return jnp.where(s > 0, d, jnp.zeros_like(d))
+
+        def act_of(c):
+            _, du_e, du_prev, k, _ = c
+            first = k == 0
+            # Deterministic quantum (no rate-stall knife edge) — keeps
+            # per-lane schedules identical to standalone solves.
+            more = (
+                (du_of(du_e) >= vc_tol)
+                & (it_vec + k < nmax)
+                & (k < inner_max)
+            )
+            return first | more
+
+        def cond(c):
+            return jnp.any(act_of(c))
+
+        def body(c):
+            e, du_e, du_prev, k, nc = c
+            a = act_of(c)
+            e_new, noconv = self._vcycle(e, r32, ex_tol_eff, nmax_exact)
+            du_new = self._metric(e_new, e)
+            sel = a.reshape(shape1)
+            du_prev = jnp.where(a, du_e, du_prev)
+            return (
+                jnp.where(sel, e_new, e),
+                jnp.where(a, du_new, du_e),
+                du_prev,
+                k + a.astype(jnp.int32),
+                nc | (noconv & a),
+            )
+
+        init = (
+            e0,
+            jnp.full((B,), big32),
+            jnp.full((B,), big32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool),
         )
-        return u + e, noconv
+        if inner_max == 1:
+            e32, du_e, _, k, noconv = body(init)
+        else:
+            e32, du_e, _, k, noconv = lax.while_loop(cond, body, init)
+        e = e32.astype(self.outer_dtype) * sb
+        e = jnp.where((s > 0).reshape(shape1), e, jnp.zeros_like(e))
+        return u + e, noconv, du_of(du_e), k
 
     # -- driver ---------------------------------------------------------
 
-    def _solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+    def _solve_impl(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
         """Lane-masked outer loop — the semantics of
-        PoissonBVP._solve_batch_impl with per-lane BCs."""
+        PoissonBVP._solve_batch_impl with per-lane BCs.  The zero RHS of
+        the component solves is materialized in-program (XLA folds
+        ``0 - lap`` to ``-lap``: no dead 3x134 MB upload/stream); mixed
+        V-cycles run in per-lane defect groups (``_mixed_group``)."""
+        rhs = jnp.zeros_like(u0)
+        mixed = self.mode != "fp64"
+        inner_max = self._inner_max
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
 
@@ -521,12 +591,18 @@ class MultiBCSolver:
         def body(c):
             u, du, it, flag = c
             active = active_of(du, it)
-            u_new, noconv = self._cycle(u, rhs, ex_tol, nmax_exact)
-            du_new = self._metric(u_new, u)
+            if mixed:
+                u_new, noconv, du_new, ncyc = self._mixed_group(
+                    u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+                )
+            else:
+                u_new, noconv = self._cycle(u, rhs, ex_tol, nmax_exact)
+                du_new = self._metric(u_new, u)
+                ncyc = jnp.ones((self.B,), jnp.int32)
             sel = active.reshape((self.B,) + (1,) * (u.ndim - 1))
             u = jnp.where(sel, u_new, u)
             du = jnp.where(active, du_new, du)
-            it = it + active.astype(jnp.int32)
+            it = it + jnp.where(active, ncyc, 0)
             return (u, du, it, flag | (noconv & active))
 
         init = (
@@ -548,12 +624,10 @@ class MultiBCSolver:
         o = self.options
         names = names or [""] * self.B
         u0 = jnp.asarray(u0_stack, self.outer_dtype)
-        rhs = jnp.zeros_like(u0)
         t0 = _time.perf_counter()
         try:
             u, du, it, ierr, flag = self._solve_jit(
                 u0,
-                rhs,
                 jnp.float64(o.vc_tol),
                 jnp.float64(o.ex_tol),
                 jnp.int32(o.ncycles_max),

@@ -136,15 +136,27 @@ class PoissonBVP:
             )
         )
         self._all_neumann = stencils.is_all_neumann(self.bcs)
-        self._solve_jit = jax.jit(self._solve_impl)
+        # Mixed mode runs V-cycles in defect groups of up to this many
+        # inner f32 cycles per f64 defect (Options.mixed_inner_max);
+        # direct modes always 1.  Checkpointed solves pass 1 explicitly.
+        self._inner_max = (
+            max(1, int(getattr(options, "mixed_inner_max", 6)))
+            if self.mode == "mixed"
+            else 1
+        )
+        self._solve_jit = jax.jit(self._solve_impl, static_argnums=(6,))
         # Donating variant for internally-owned buffers (the caller's u0
         # is invalidated) and a zero-rhs variant that materializes the
         # right-hand side inside the program (saves a full-grid buffer +
         # upload for the common rhs == 0 solves).
-        self._solve_jit_donate = jax.jit(self._solve_impl, donate_argnums=(0,))
-        self._solve_zero_rhs_jit = jax.jit(self._solve_impl_zero_rhs)
+        self._solve_jit_donate = jax.jit(
+            self._solve_impl, donate_argnums=(0,), static_argnums=(6,)
+        )
+        self._solve_zero_rhs_jit = jax.jit(
+            self._solve_impl_zero_rhs, static_argnums=(5,)
+        )
         self._solve_zero_rhs_jit_donate = jax.jit(
-            self._solve_impl_zero_rhs, donate_argnums=(0,)
+            self._solve_impl_zero_rhs, donate_argnums=(0,), static_argnums=(5,)
         )
         self._solve_hist_jit = jax.jit(self._solve_hist_impl, static_argnums=(6,))
         self._solve_batch_jit = None
@@ -158,6 +170,38 @@ class PoissonBVP:
         return self._inner.t_vcycle(u, rhs, ex_tol, nmax_exact)
 
     def _cycle_body_mixed(self, u, rhs, ex_tol, nmax_exact):
+        """One defect group with a single inner V-cycle (the strict
+        mixed iteration; kept for the reduced drivers and as the
+        inner_max=1 case of ``_mixed_group``)."""
+        u_new, noconv, _, _, _ = self._mixed_group(
+            u, rhs, ex_tol, nmax_exact,
+            jnp.asarray(0.0, self.outer_dtype),
+            jnp.int32(0), jnp.int32(1), 1, None,
+        )
+        return u_new, noconv
+
+    def _mixed_group(
+        self, u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
+    ):
+        """One f64 defect correction supported by UP TO ``inner_max``
+        f32 V-cycles (TPU mixed-precision core; the f64 defect pass is
+        software-emulated and ~6x an f32 V-cycle, so it is amortized
+        over every inner cycle it can support).
+
+        The inner loop keeps cycling on the SAME scaled defect while the
+        f32 iteration still converges well (du_e < 0.5 * previous — the
+        f32 resolution stall test), the per-cycle du (= s * du_e, the
+        same inter-iterate metric the reference stops on) is >= vc_tol,
+        and the global V-cycle budget ``nmax`` has room.  Each inner
+        V-cycle is an implied outer iterate u + s*e_k, so the per-cycle
+        du sequence, cycle counting, and du-history entries all keep
+        their reference semantics (ndsm_poisson.f90:116-141); only the
+        frequency of f64 re-measurement changes, which perturbs iterates
+        at f64 rounding level.  With inner_max=1 this IS the strict
+        defect-correction iteration.
+
+        Returns (u_new, noconv, du_last, ncycles, hist).
+        """
         eng64, eng32 = self._outer, self._inner
         r0 = eng64.t_residual(u, rhs, 0)
         s = jnp.max(jnp.abs(r0))
@@ -166,27 +210,64 @@ class PoissonBVP:
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
         e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
-        e32, noconv = eng32.t_vcycle(e0, r32, ex_tol_eff, nmax_exact)
+        big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
+
+        def du_of(du_e):
+            d = s_safe * du_e.astype(self.outer_dtype)
+            return jnp.where(s > 0, d, jnp.zeros_like(d))
+
+        def cond(c):
+            _, du_e, du_prev, k, _, _ = c
+            first = k == 0
+            # No rate-based stall test: a du-ratio threshold is a
+            # rounding knife-edge that lets batched/standalone schedules
+            # diverge.  inner_max bounds the group deterministically
+            # (sized to f32's ~7-decade headroom per defect), so per-lane
+            # sequences stay identical across drivers.
+            more = jnp.logical_and(
+                du_of(du_e) >= vc_tol,
+                jnp.logical_and(it + k < nmax, k < inner_max),
+            )
+            return jnp.logical_or(first, more)
+
+        def body(c):
+            e, du_e, _, k, nc, h = c
+            e_new, noconv = eng32.t_vcycle(e, r32, ex_tol_eff, nmax_exact)
+            du_new = eng32.t_metric(e_new, e)
+            if h is not None:
+                h = h.at[it + k].set(du_of(du_new))
+            return (e_new, du_new, du_e, k + 1, nc | noconv, h)
+
+        if inner_max == 1:
+            e32, du_e, _, k, noconv, hist = body(
+                (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
+            )
+        else:
+            init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
+            e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
         e = e32.astype(self.outer_dtype) * s_safe
         e = jnp.where(s > 0, e, jnp.zeros_like(e))
         u_new = u + e
         if self._all_neumann:
             u_new = u_new - jnp.mean(u_new)
-        return u_new, noconv
+        return u_new, noconv, du_of(du_e), k, hist
 
-    def _solve_impl_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
+    def _solve_impl_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact, inner_max):
         rhs = jnp.zeros(self.h.fine_shape, dtype=self.outer_dtype)
-        return self._solve_impl(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact)
+        return self._solve_impl(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, inner_max)
 
-    def _solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+    def _solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, inner_max):
         """Outer V-cycle loop (reference: VCYCLE_LOOP,
         ndsm_poisson.f90:116-141): iterate until the selected inter-cycle
         metric du is < vc_tol, or nmax cycles have run (-> IERR_COVFAIL).
         Also accumulates the coarse-solve non-convergence flag across
-        cycles (reference warning: ndsm_multigrid_core.f90:796-798)."""
-        cycle = (
-            self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
-        )
+        cycles (reference warning: ndsm_multigrid_core.f90:796-798).
+
+        In mixed mode, cycles run in defect GROUPS (``_mixed_group``):
+        ``it`` still counts individual V-cycles and ``du`` is still the
+        latest per-V-cycle inter-iterate metric."""
+        mixed = self.mode == "mixed"
+        inner_max = max(1, int(inner_max))
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
 
@@ -196,8 +277,14 @@ class PoissonBVP:
 
         def body(c):
             u, _, it, flag = c
-            u_new, noconv = cycle(u, rhs, ex_tol, nmax_exact)
-            du = self._outer.t_metric(u_new, u)
+            if mixed:
+                u_new, noconv, du, ncyc, _ = self._mixed_group(
+                    u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, None
+                )
+            else:
+                u_new, noconv = self._cycle_body_direct(u, rhs, ex_tol, nmax_exact)
+                du = self._outer.t_metric(u_new, u)
+                ncyc = jnp.int32(1)
             if self.options.debug:
                 from ..utils.compat import callbacks_supported
 
@@ -205,7 +292,7 @@ class PoissonBVP:
                     jax.debug.print(
                         "DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du
                     )
-            return (u_new, du, it + 1, flag | noconv)
+            return (u_new, du, it + ncyc, flag | noconv)
 
         init = (u0, big, jnp.asarray(0, dtype=jnp.int32), jnp.asarray(False))
         u, du, it, flag = lax.while_loop(cond, body, init)
@@ -218,10 +305,10 @@ class PoissonBVP:
         ndsm_poisson.f90:129-135, as a first-class return — usable even on
         platforms without host callbacks).  ``hist_len`` is static; cycles
         are capped at min(nmax, hist_len).  The iterate sequence is
-        identical to ``_solve_impl``."""
-        cycle = (
-            self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
-        )
+        identical to ``_solve_impl`` (mixed defect groups write one
+        history entry per inner V-cycle)."""
+        mixed = self.mode == "mixed"
+        inner_max = self._inner_max
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
         nmax = jnp.minimum(nmax, jnp.int32(hist_len))
@@ -232,10 +319,16 @@ class PoissonBVP:
 
         def body(c):
             u, _, it, hist, flag = c
-            u_new, noconv = cycle(u, rhs, ex_tol, nmax_exact)
-            du = self._outer.t_metric(u_new, u)
-            hist = hist.at[it].set(du)
-            return (u_new, du, it + 1, hist, flag | noconv)
+            if mixed:
+                u_new, noconv, du, ncyc, hist = self._mixed_group(
+                    u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
+                )
+            else:
+                u_new, noconv = self._cycle_body_direct(u, rhs, ex_tol, nmax_exact)
+                du = self._outer.t_metric(u_new, u)
+                hist = hist.at[it].set(du)
+                ncyc = jnp.int32(1)
+            return (u_new, du, it + ncyc, hist, flag | noconv)
 
         hist0 = jnp.full((hist_len,), jnp.nan, dtype=self.outer_dtype)
         init = (u0, big, jnp.asarray(0, dtype=jnp.int32), hist0, jnp.asarray(False))
@@ -251,15 +344,26 @@ class PoissonBVP:
         lane's iterate/metric sequence is identical to a standalone solve;
         the loop runs until every lane converges or hits nmax.  Requires a
         while_loop-free coarse solve (coarse_direct) so the cycle can be
-        vmapped without cross-lane iteration coupling."""
-        cycle = (
-            self._cycle_body_mixed if self.mode == "mixed" else self._cycle_body_direct
-        )
-        cycleB = jax.vmap(lambda u, r: cycle(u, r, ex_tol, nmax_exact))
-        metricB = jax.vmap(self._outer.t_metric)
+        vmapped without cross-lane iteration coupling.  Mixed defect
+        groups vmap too (the lane-wise inner while_loops run lock-step
+        under the batching rule with per-lane freezing)."""
+        mixed = self.mode == "mixed"
+        inner_max = self._inner_max
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
         B = u0.shape[0]
+
+        if mixed:
+            groupB = jax.vmap(
+                lambda u, r, it: self._mixed_group(
+                    u, r, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, None
+                )
+            )
+        else:
+            cycleB = jax.vmap(
+                lambda u, r: self._cycle_body_direct(u, r, ex_tol, nmax_exact)
+            )
+            metricB = jax.vmap(self._outer.t_metric)
 
         def active_of(du, it):
             return jnp.logical_and(it < nmax, du >= vc_tol)
@@ -271,12 +375,16 @@ class PoissonBVP:
         def body(c):
             u, du, it, flag = c
             active = active_of(du, it)
-            u_new, noconv = cycleB(u, rhs)
-            du_new = metricB(u_new, u)
+            if mixed:
+                u_new, noconv, du_new, ncyc, _ = groupB(u, rhs, it)
+            else:
+                u_new, noconv = cycleB(u, rhs)
+                du_new = metricB(u_new, u)
+                ncyc = jnp.ones((B,), jnp.int32)
             sel = active.reshape((B,) + (1,) * (u.ndim - 1))
             u = jnp.where(sel, u_new, u)
             du = jnp.where(active, du_new, du)
-            it = it + active.astype(jnp.int32)
+            it = it + jnp.where(active, ncyc, 0)
             return (u, du, it, flag | (noconv & active))
 
         init = (
@@ -489,7 +597,7 @@ class PoissonBVP:
                 if donate
                 else self._solve_zero_rhs_jit
             )
-            u, du, it, ierr, flag = fn(u0, *scalars)
+            u, du, it, ierr, flag = fn(u0, *scalars, self._inner_max)
             du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         else:
             rhs = jnp.asarray(rhs, dtype=self.outer_dtype)
@@ -500,7 +608,7 @@ class PoissonBVP:
                     f"rhs shape {rhs.shape} != fine grid {self.h.fine_shape}"
                 )
             fn = self._solve_jit_donate if donate else self._solve_jit
-            u, du, it, ierr, flag = fn(u0, rhs, *scalars)
+            u, du, it, ierr, flag = fn(u0, rhs, *scalars, self._inner_max)
             du, it, ierr, flag = jax.device_get((du, it, ierr, flag))  # one host sync
         info = SolveInfo(
             ierr=int(ierr),
@@ -543,10 +651,13 @@ class PoissonBVP:
         """Resumable solve: V-cycles run in chunks of ``checkpoint_every``
         with the current iterate written atomically to ``checkpoint_path``
         (.npz) between chunks; an interrupted solve restarts from the last
-        checkpoint.  The cycle-by-cycle iterate sequence is identical to
-        ``solve`` (the reference has no checkpointing — solves are
-        minutes-scale; for large multi-chip problems this closes that gap,
-        SURVEY.md §5)."""
+        checkpoint.  The iterate sequence is independent of
+        ``checkpoint_every`` — mixed mode pins the strict
+        one-V-cycle-per-defect iteration (inner_max=1) here so a chunk
+        boundary can never split a defect group (for fp64/fp32 the
+        sequence is identical to ``solve``; the reference has no
+        checkpointing — solves are minutes-scale; for large multi-chip
+        problems this closes that gap, SURVEY.md §5)."""
         import os
 
         o = self.options
@@ -572,6 +683,9 @@ class PoissonBVP:
                 ierr = IERR_SUCCESS
                 break
             chunk = min(checkpoint_every, nmax - cycles_done)
+            # inner_max=1: strict one-V-cycle-per-defect groups, so a
+            # chunk boundary can never split an inner loop and the
+            # iterate sequence is independent of checkpoint_every.
             u, du_j, it_j, _, flag = self._solve_jit(
                 u,
                 jnp.asarray(rhs, dtype=self.outer_dtype),
@@ -579,6 +693,7 @@ class PoissonBVP:
                 jnp.float64(ex_tol),
                 jnp.int32(chunk),
                 jnp.int32(nmax_exact),
+                1,
             )
             du = float(du_j)
             cycles_done += int(it_j)

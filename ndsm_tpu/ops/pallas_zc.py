@@ -107,8 +107,12 @@ def pick_tiles_zc(
             wy = min(ny, ty + 2 * H_y)
             if wz % 2:
                 continue  # parity-invariant E/O split needs even W_z
-            # 2 dense double-buffered windows + 4 half work arrays
-            if (2 * 2 + 2) * wz * wy * nx * 4 > _VMEM_BUDGET:
+            # 2 dense double-buffered windows + 4 half work arrays; the
+            # residual variant additionally keeps the res halves and the
+            # interleave temporaries live (measured ~3 more dense units
+            # of Mosaic scoped stack at 256^3).
+            units = 9 if residual else 6
+            if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:

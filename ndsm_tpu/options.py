@@ -69,6 +69,15 @@ class Options:
     #: and falls back to XLA on failure; "on" forces it; "off" disables.
     #: Env override NDSM_TPU_PALLAS=0/1/interpret (see utils/compat.py).
     use_pallas: str = "auto"
+    #: Mixed precision: f32 V-cycles run against ONE f64 defect in
+    #: deterministic groups of up to this many cycles (the group also
+    #: stops when the per-cycle du drops under vc_tol).  The f64 defect
+    #: pass is ~6x the cost of an f32 V-cycle on TPU (software-emulated
+    #: f64), so amortizing it across the ~7 decades of convergence one
+    #: f32 solve supports is most of mixed-mode's speed.  1 recovers the
+    #: strict one-V-cycle-per-defect iteration (used by checkpointed
+    #: solves so chunking cannot split a group).
+    mixed_inner_max: int = 6
     #: Coarsest-grid solver: "relax" iterates to ex_tol exactly like the
     #: reference (ndsm_multigrid_core.f90:728); "direct" applies a
     #: precomputed dense (pseudo)inverse in one matvec (same limit, no
