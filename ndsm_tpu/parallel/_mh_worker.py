@@ -52,7 +52,7 @@ def main() -> None:
     sbvp = ShardedPoissonBVP(
         h,
         (("D", "D"), ("N", "N"), ("D", "D")),
-        Options(precision="mixed", ncycles_max=3, vc_tol=1e-30, niterex_max=40),
+        Options(precision="mixed", ncycles_max=3, vc_tol=1e-30, niterex_max=40, mixed_inner_max=1),
         mesh=mesh,
         axis_names=("z", "y"),
         min_rows_per_shard=2,
