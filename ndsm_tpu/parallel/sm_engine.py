@@ -639,8 +639,20 @@ class ShardedPoissonBVP(ShardStencilKernels):
         return us[0], noconv
 
     def _cycle_mixed(self, u, rhs, ex_tol, nmax_exact):
-        """f64 defect correction around an f32 V-cycle (the sharded
-        analogue of PoissonBVP's mixed mode; see mg/poisson.py)."""
+        """One defect group with a single inner V-cycle (the strict
+        mixed iteration; the inner_max=1 case of ``_mixed_group``)."""
+        u_new, noconv, _, _ = self._mixed_group(
+            u, rhs, ex_tol, nmax_exact,
+            jnp.asarray(0.0, self.dtype), jnp.int32(0), jnp.int32(1), 1,
+        )
+        return u_new, noconv
+
+    def _mixed_group(self, u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max):
+        """f64 defect correction supported by up to ``inner_max`` f32
+        V-cycles (the sharded analogue of PoissonBVP._mixed_group: the
+        software-emulated f64 defect pass is amortized over the f32
+        cycles it supports; per-V-cycle du/cycle-count semantics are
+        unchanged).  Returns (u_new, noconv, du_last, ncycles)."""
         r0 = self._sharded_residual(u, rhs, 0)
         s = lax.pmax(jnp.max(jnp.abs(r0)), self.names)
         s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
@@ -648,7 +660,32 @@ class ShardedPoissonBVP(ShardStencilKernels):
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
         e0 = self._vary(jnp.zeros(r32.shape, dtype=jnp.float32))
-        e32, noconv = self._vcycle(e0, r32, ex_tol_eff, nmax_exact)
+        big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
+
+        def du_of(du_e):
+            d = s_safe * du_e.astype(self.dtype)
+            return jnp.where(s > 0, d, jnp.zeros_like(d))
+
+        def cond(c):
+            _, du_e, k, _ = c
+            first = k == 0
+            more = jnp.logical_and(
+                du_of(du_e) >= vc_tol,
+                jnp.logical_and(it + k < nmax, k < inner_max),
+            )
+            return jnp.logical_or(first, more)
+
+        def body(c):
+            e, du_e, k, nc = c
+            e_new, noconv = self._vcycle(e, r32, ex_tol_eff, nmax_exact)
+            du_new = self._metric(e_new, e, 0)
+            return (e_new, du_new, k + 1, nc | noconv)
+
+        init = (e0, big32, jnp.int32(0), self._vary(jnp.asarray(False)))
+        if inner_max == 1:
+            e32, du_e, k, noconv = body(init)
+        else:
+            e32, du_e, k, noconv = lax.while_loop(cond, body, init)
         e = e32.astype(self.dtype) * s_safe
         e = jnp.where(s > 0, e, jnp.zeros_like(e))
         u_new = u + e
@@ -658,7 +695,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 total, u_new.dtype
             )
             u_new = u_new - mean
-        return u_new, noconv
+        return u_new, noconv, du_of(du_e), k
 
     def _local_solve_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
         rhs = self._vary(jnp.zeros(u0.shape, dtype=u0.dtype))
@@ -668,6 +705,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
         vc_tol = vc_tol.astype(self.dtype)
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
         mixed = self.mode == "mixed"
+        inner_max = max(1, int(getattr(self.options, "mixed_inner_max", 6))) if mixed else 1
 
         def cond(c):
             _, du, it, _ = c
@@ -676,11 +714,14 @@ class ShardedPoissonBVP(ShardStencilKernels):
         def body(c):
             u, _, it, flag = c
             if mixed:
-                u_new, noconv = self._cycle_mixed(u, rhs, ex_tol, nmax_exact)
+                u_new, noconv, du, ncyc = self._mixed_group(
+                    u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+                )
             else:
                 u_new, noconv = self._vcycle(u, rhs, ex_tol, nmax_exact)
-            du = self._metric(u_new, u, 0)
-            return (u_new, du, it + 1, flag | noconv)
+                du = self._metric(u_new, u, 0)
+                ncyc = jnp.int32(1)
+            return (u_new, du, it + ncyc, flag | noconv)
 
         u, du, it, flag = lax.while_loop(
             cond, body, (u0, big, jnp.int32(0), self._vary(jnp.asarray(False)))
