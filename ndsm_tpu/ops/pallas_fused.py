@@ -1,8 +1,13 @@
 """Pallas TPU kernel: multi-sweep fused 3D red-black Gauss-Seidel.
 
-This is the production TPU smoother (wired through ``Options.use_pallas``
-into MGEngine.t_smooth).  It replaces the reference's hand-tuned OpenMP
-hot loop (fortran/ndsm_optimized.f90:40-191) with an HBM-roofline design:
+First-generation TPU smoother, now a FALLBACK behind the z-compact
+kernel (ops/pallas_zc.py — one stencil evaluation per point-sweep and
+25% less traffic; this dense kernel evaluates both colors everywhere
+and is VPU-capped at ~66% of the HBM roofline).  The engine still routes
+odd-nz shapes here, and the lane-batched variant serves mg/batched.py
+when per-lane zc kernels are unavailable.  It replaces the reference's
+hand-tuned OpenMP hot loop (fortran/ndsm_optimized.f90:40-191) with an
+HBM-roofline design:
 
   * ``nsweeps`` complete red-black sweeps run in ONE pass over HBM.  A
     window of (tz + 2H, ty + 2H, nx) with halo H = 2*nsweeps streams
