@@ -69,8 +69,11 @@ from .stencils import BCS, first_color_parity, is_all_neumann
 __all__ = [
     "zc_smooth_3d",
     "zc_smooth_residual_3d",
+    "zc_smooth_sharded_3d",
     "zc_kernel_supported",
+    "zc_sharded_supported",
     "pick_tiles_zc",
+    "pick_tiles_zc_sharded",
 ]
 
 # VMEM for: u window + rhs window double-buffered (4 dense units) plus
@@ -477,3 +480,286 @@ def zc_smooth_residual_3d(
         return out[0], out[1]
 
     return apply
+
+
+# ----------------------------------------------------------------------
+# Sharded variant: per-shard smoothing on halo-EXTENDED dense blocks.
+#
+# The sharded engine (parallel/sm_engine.py) exchanges a 2*nsweeps-deep
+# halo along each partitioned axis ONCE per multi-sweep pass (instead of
+# one boundary-plane exchange per half-sweep) and calls this kernel on
+# the extended local block:
+#
+#   * every window is interior-style on an extended axis (start i*tz in
+#     extended coordinates; no clamping, no face logic) — the 2*nsweeps
+#     contamination ring from the array edges lies entirely in the halo,
+#     which is discarded (only the real region is written out);
+#   * at TRUE global faces the engine fills the halo with the shard's
+#     own node-mirror planes (u[-k] := u[k], same for rhs) — the mirror
+#     has the SAME red-black parity (index -k == k mod 2) and mirror-
+#     symmetric neighbors/rhs, so the sweep dynamics keep the halo equal
+#     to the mirrored interior for exactly nsweeps sweeps and every
+#     face-adjacent read sees the reference's index reflection;
+#   * Dirichlet freezing rides a streamed mask-code array C (extended
+#     like u; frozen points == 2.0, the pallas_fused.mask_code
+#     convention) — uniform across x/y/z faces, no per-shard flags, so
+#     one compiled program serves every shard position (SPMD).
+#
+# Matches the per-sweep semantics of ShardStencilKernels._sharded_sweep
+# (one boundary exchange per half-sweep) up to rounding, while moving
+# all hot compute into VMEM.
+# ----------------------------------------------------------------------
+
+
+def pick_tiles_zc_sharded(
+    local_shape: Tuple[int, int, int], nsweeps: int, ext_y: bool
+) -> Optional[Tuple[int, int, int, int]]:
+    """(tz, ty, W_z, W_y) over the REAL local block; windows read from
+    the extended block.  Budget counts 3 double-buffered streams (u,
+    rhs, C) plus the split work arrays."""
+    nz, ny, nx = local_shape
+    H_z, H_y = _halos(nsweeps)
+    best, best_frac = None, 0.0
+    for tz in range(2, min(nz, 256) + 1, 2):
+        if nz % tz:
+            continue
+        for ty in range(8, min(ny, 256) + 1, 8):
+            if ny % ty:
+                continue
+            wz = tz + 2 * H_z
+            wy = ty + 2 * H_y if ext_y else min(ny, ty + 2 * H_y)
+            if wz % 2 or wy % 8:
+                continue
+            if 10 * wz * wy * nx * 4 > _VMEM_BUDGET:
+                continue
+            frac = (tz * ty) / (wz * wy)
+            if frac > best_frac:
+                best_frac, best = frac, (tz, ty, wz, wy)
+    return best
+
+
+def zc_sharded_supported(
+    local_shape, dtype, nsweeps: int, ext_y: bool, interpret: bool = False
+) -> bool:
+    if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if nsweeps < 1 or nsweeps > 8:
+        return False
+    nz, ny, nx = local_shape
+    if nz % 2 or ny % 8:
+        return False  # even global offsets keep the parity static
+    if not interpret and nx % 128 != 0:
+        return False
+    return pick_tiles_zc_sharded(tuple(local_shape), nsweeps, ext_y) is not None
+
+
+def _zc_sharded_kernel(
+    u_hbm, rhs_hbm, c_hbm,
+    out_ref,
+    bufU, bufR, bufC,
+    wR, wB, wrR, wrB,
+    in_sems, out_sems,
+    *,
+    nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
+    H_z: int, H_y: int, ext_y: bool,
+    w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
+):
+    i = jnp.int32(pl.program_id(0))
+    j = jnp.int32(pl.program_id(1))
+    gy = jnp.int32(pl.num_programs(1))
+    step = i * gy + j
+    total = jnp.int32(pl.num_programs(0)) * gy
+    i32 = jnp.int32
+    W_zc = W_z // 2
+
+    def window_starts(ii, jj):
+        sz = ii * i32(tz)  # extended coords: no clamp on z
+        if ext_y:
+            sy = jj * i32(ty)
+        else:
+            sy = jnp.minimum(
+                jnp.maximum(jj * i32(ty) - i32(H_y), 0), i32(ny - W_y)
+            )
+        return sz, pl.multiple_of(sy, 8)
+
+    def fetch(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        win = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+        return [
+            pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
+            for k, (src, buf) in enumerate(
+                ((u_hbm, bufU), (rhs_hbm, bufR), (c_hbm, bufC))
+            )
+        ]
+
+    def out_dmas(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        z0 = ii * i32(tz)
+        y0 = pl.multiple_of(jj * i32(ty), 8)
+        # window-internal offset of the real tile
+        oz = i32(H_z)
+        oy = pl.multiple_of((y0 + (i32(H_y) if ext_y else i32(0))) - sy, 8)
+        src = (slot, pl.ds(oz, tz), pl.ds(oy, ty), slice(None))
+        dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
+        return [
+            pltpu.make_async_copy(bufU.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
+        ]
+
+    slot = lax.rem(step, i32(2))
+
+    @pl.when(step == i32(0))
+    def _():
+        for d in fetch(i32(0), i, j):
+            d.start()
+
+    @pl.when(step + i32(1) < total)
+    def _():
+        nstep = step + i32(1)
+        ni, nj = nstep // gy, lax.rem(nstep, gy)
+
+        @pl.when(step >= i32(1))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+        for d in fetch(lax.rem(nstep, i32(2)), ni, nj):
+            d.start()
+
+    for d in fetch(slot, i, j):
+        d.wait()
+
+    # Window-position-independent parity: all z/y window starts and the
+    # shard's global offsets are even (tz, H_z even; ty, H_y % 8 == 0;
+    # even local extents enforced by zc_sharded_supported).
+    ly = lax.broadcasted_iota(jnp.int32, (1, W_y, nx), 1)
+    kk = lax.broadcasted_iota(jnp.int32, (1, W_y, nx), 2)
+    t1 = lax.rem(ly + kk + i32(p0), i32(2)) == i32(1)
+
+    def split(ref):
+        v = ref[slot].reshape(W_zc, 2, W_y, nx)
+        E, O = v[:, 0], v[:, 1]
+        return jnp.where(t1, O, E), jnp.where(t1, E, O)
+
+    R0, B0 = split(bufU)
+    rR, rB = split(bufR)
+    C_R, C_B = split(bufC)
+    M_R = C_R != jnp.float32(2.0)
+    M_B = C_B != jnp.float32(2.0)
+    wR[...] = R0
+    wB[...] = B0
+    wrR[...] = rR
+    wrB[...] = rB
+
+    def half(own, opp, rhs_own, mask, own_is_first: bool):
+        o1 = t1 if own_is_first else ~t1
+        dn = _shift_clamp_z(opp, -1)
+        up = _shift_clamp_z(opp, +1)
+        z_dn = jnp.where(o1, opp, dn)
+        z_up = jnp.where(o1, up, opp)
+        y_lo, y_hi = _shift_edge(opp, 1)
+        x_lo, x_hi = _shift_edge(opp, 2)
+        s = (
+            (z_dn + z_up) * jnp.float32(w[0])
+            + (y_lo + y_hi) * jnp.float32(w[1])
+            + (x_lo + x_hi) * jnp.float32(w[2])
+        )
+        unew = (s - rhs_own) * jnp.float32(w0)
+        return jnp.where(mask, unew, own)
+
+    rR = wrR[...]
+    rB = wrB[...]
+    for _ in range(nsweeps):
+        wR[...] = half(wR[...], wB[...], rR, M_R, True)
+        wB[...] = half(wB[...], wR[...], rB, M_B, False)
+
+    R, B = wR[...], wB[...]
+    E = jnp.where(t1, B, R)
+    O = jnp.where(t1, R, B)
+    bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
+
+    for d in out_dmas(slot, i, j):
+        d.start()
+
+    @pl.when(step == total - i32(1))
+    def _():
+        for d in out_dmas(slot, i, j):
+            d.wait()
+
+        @pl.when(total >= i32(2))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+
+def zc_smooth_sharded_3d(
+    dq,
+    local_shape,
+    nsweeps: int,
+    p0: int,
+    ext_y: bool = False,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    vma=None,
+):
+    """Build the per-shard smoother, or None if unsupported.  Returns
+    call(ext_u, ext_rhs, ext_C) -> u over the REAL local block, where
+    the inputs carry a 2*nsweeps-deep z halo (and an 8-aligned y halo
+    when ``ext_y``) filled by the engine (neighbor planes; node-mirror
+    planes at true Neumann faces; anything at Dirichlet faces — their
+    planes are frozen via C == 2).  ``p0`` is the global first-color
+    parity (stencils.first_color_parity of the problem's bcs).
+    ``vma`` is the set of mesh-axis names the output varies over (the
+    caller runs this inside shard_map, whose vma type system requires
+    pallas_call out_shapes to declare their varying axes)."""
+    local_shape = tuple(int(s) for s in local_shape)
+    if not zc_sharded_supported(local_shape, dtype, nsweeps, ext_y, interpret=interpret):
+        return None
+    nz, ny, nx = local_shape
+    tz, ty, W_z, W_y = pick_tiles_zc_sharded(local_shape, nsweeps, ext_y)
+    dq = np.asarray(dq, dtype=np.float64)
+    w32 = (1.0 / (dq * dq)).astype(np.float32)
+    w = tuple(float(x) for x in w32)
+    w0 = float(np.float32(1.0) / (np.float32(2.0) * np.sum(w32)))
+    H_z, H_y = _halos(nsweeps)
+
+    kernel = functools.partial(
+        _zc_sharded_kernel,
+        nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
+        H_z=H_z, H_y=H_y, ext_y=ext_y,
+        w=w, w0=w0, nsweeps=nsweeps, p0=int(p0),
+    )
+    grid = (nz // tz, ny // ty)
+    W_zc = W_z // 2
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=(
+            jax.ShapeDtypeStruct(local_shape, jnp.float32)
+            if vma is None
+            else jax.ShapeDtypeStruct(local_shape, jnp.float32, vma=frozenset(vma))
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 1)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(nsweeps * 11 * nz * ny * nx),
+            bytes_accessed=int(4 * 4 * nz * ny * nx),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    return call

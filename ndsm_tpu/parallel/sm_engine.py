@@ -220,6 +220,36 @@ class ShardStencilKernels:
             s = it if s is None else s + it
         return s
 
+    # -- halo-extended blocks (for the per-shard Pallas smoother) ------
+
+    def _extend_block(self, v, level, H_map):
+        """Extend ``v`` by ``H_map[ax]`` planes on BOTH sides of every
+        partitioned axis: neighbor planes via ppermute; the shard's own
+        node-mirror planes at the global chain ends (ext[-k] := v[k] —
+        the index reflection of a true Neumann face, same red-black
+        parity; Dirichlet-face halo content is irrelevant, those planes
+        are frozen via the streamed mask code)."""
+        for ax, nm in self.parts:
+            H = H_map.get(ax, 0)
+            if H == 0:
+                continue
+            from_prev, from_next = self._exchange_planes(v, ax, depth=H)
+            mirror_lo = jnp.flip(_plane(v, ax, 1, H + 1), axis=ax)
+            mirror_hi = jnp.flip(_plane(v, ax, -H - 1, -1), axis=ax)
+            idx = lax.axis_index(nm)
+            lo = jnp.where(idx == 0, mirror_lo, from_prev)
+            hi = jnp.where(idx == self.ndev[nm] - 1, mirror_hi, from_next)
+            v = jnp.concatenate([lo, v, hi], axis=ax)
+        return v
+
+    def _zc_mask_code(self, shape, level):
+        """Local mask-code block for the sharded zc kernel: 2.0 on
+        Dirichlet-face points (global-index tests), 0.0 elsewhere."""
+        interior = self._sharded_masks(shape, level)
+        if interior is None:
+            return jnp.zeros(shape, jnp.float32)
+        return jnp.where(interior, jnp.float32(0.0), jnp.float32(2.0))
+
     # -- masked sweep / residual ---------------------------------------
 
     def _sharded_half(self, u, rhs, level, parity, w, w0, interior):
@@ -386,6 +416,10 @@ class ShardedPoissonBVP(ShardStencilKernels):
         self.mode = options.resolve_precision()
         self.compact_smoother = getattr(options, "smoother", "auto") != "masked"
         self.dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
+        from ..utils.compat import resolve_use_pallas
+
+        self.use_pallas = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
+        self._zc_fns: dict = {}
         self.ndev0 = self.ndev[self.names[0]]
         # Legacy single-axis attributes used by tests/introspection
         self.axis_name = self.names[0]
@@ -491,8 +525,74 @@ class ShardedPoissonBVP(ShardStencilKernels):
     def _dq_of(self, level: int):
         return self._dq[level]
 
+    def _zc_sharded_fn(self, level: int, n: int):
+        """Per-shard z-compact Pallas smoother (ops/pallas_zc.py sharded
+        variant) for (level, n sweeps per pass), or None."""
+        from ..mg.engine import _pallas_min_points
+
+        key = (level, n)
+        if key in self._zc_fns:
+            return self._zc_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.h.ndim == 3
+            and level < self.seam
+            and not stencils.is_all_neumann(self.bcs)
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_zc
+
+            local = self._local_shape(level)
+            H_z, H_y = pallas_zc._halos(n)
+            # the mirror fill needs H+1 local planes; the exchange H
+            if all(
+                local[ax] >= (H_z if ax == 0 else H_y) + 1
+                for ax, _ in self.parts
+            ):
+                fn = pallas_zc.zc_smooth_sharded_3d(
+                    self._dq[level],
+                    local,
+                    n,
+                    stencils.first_color_parity(self.bcs),
+                    ext_y=len(self.names) > 1,
+                    interpret=(self.use_pallas == "interpret"),
+                    vma={nm for _, nm in self.parts},
+                )
+        self._zc_fns[key] = fn
+        return fn
+
+    def _smooth_zc_sharded(self, u, rhs, level, n, ns_star, fz):
+        """n sweeps as passes of the per-shard kernel: one 2*ns-deep
+        halo exchange per pass instead of one boundary-plane exchange
+        per half-sweep; remainder sweeps use the XLA sharded path."""
+        from ..ops import pallas_zc
+
+        H_z, H_y = pallas_zc._halos(ns_star)
+        H_map = {0: H_z}
+        if len(self.names) > 1:
+            H_map[1] = H_y
+        C = self._extend_block(
+            self._zc_mask_code(u.shape, level), level, H_map
+        )
+        rhs_ext = self._extend_block(rhs, level, H_map)
+        q, rem = divmod(n, ns_star)
+        for _ in range(q):
+            u = fz(self._extend_block(u, level, H_map), rhs_ext, C)
+        if rem:
+            body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
+            u = lax.fori_loop(0, rem, body, u)
+        return u
+
     def _smooth(self, u, rhs, level, n):
         if level < self.seam:
+            if u.dtype == jnp.float32 and n >= 1:
+                from ..mg.engine import _pallas_nsweeps
+
+                ns_star = min(n, _pallas_nsweeps())
+                fz = self._zc_sharded_fn(level, ns_star)
+                if fz is not None:
+                    return self._smooth_zc_sharded(u, rhs, level, n, ns_star, fz)
             if self.compact_smoother and u.shape[-1] >= 4:
                 return self._sharded_smooth_compact(u, rhs, level, n)
             body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731

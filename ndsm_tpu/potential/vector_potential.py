@@ -30,6 +30,7 @@ Deliberate fixes of reference quirks (SURVEY.md):
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Sequence, Tuple
 
@@ -337,6 +338,14 @@ def compute_vector_potential(
         and dist is None
         and options.honor_ms_for_az  # per-lane ms differs otherwise (Q3)
     )
+    if batch_ok and bc_mode == "auto":
+        # "auto" also requires the 3-lane working set to fit HBM: the
+        # batched mixed solve peaks around B * n^3 * ~48 B (u/r0 f64 +
+        # the f32 correction hierarchy + XLA temps); at 512^3 that is
+        # ~19 GB against the 16 GB chip and the compile fails with an
+        # HBM OOM (measured) — sequential components stay well inside.
+        hbm = float(os.environ.get("NDSM_TPU_HBM_BYTES", 16e9))
+        batch_ok = 3 * float(nz) * ny * nx * 48.0 < 0.85 * hbm
     if batch_ok and bc_mode == "auto":
         # "auto" batches only when the fused Pallas smoother covers the
         # fine level for every lane: without it the batched solver's
