@@ -144,6 +144,47 @@ class PoissonBVP:
             if self.mode == "mixed"
             else 1
         )
+        # Double-float defect mode: the outer iterate/rhs live as f32
+        # pairs and the defect residual runs in the compensated Pallas
+        # kernel (ops/pallas_df.py) instead of emulated-f64 XLA.
+        self._df = False
+        self._df_res = self._df_res_zero = None
+        md = getattr(options, "mixed_defect", "auto")
+        if md not in ("auto", "f64", "df32"):
+            raise ValueError(f"unknown mixed_defect {md!r}")
+        if (
+            self.mode == "mixed"
+            and md != "f64"
+            and hierarchy.ndim == 3
+            and not self._all_neumann
+            and shard_spec is None
+        ):
+            from ..ops import pallas_df
+            from .engine import _pallas_min_points
+
+            interp = use_pallas == "interpret"
+            want = (
+                use_pallas in ("on", "interpret")
+                if md == "auto"
+                else use_pallas != "off"
+            )
+            if (
+                want
+                and int(np.prod(hierarchy.fine_shape)) >= _pallas_min_points()
+                and pallas_df.df_residual_supported(
+                    hierarchy.fine_shape, jnp.float32, interpret=interp
+                )
+            ):
+                self._df_res = pallas_df.df_residual_3d(
+                    self.bcs, hierarchy.dq[0], hierarchy.fine_shape,
+                    zero_rhs=False, interpret=interp,
+                )
+                self._df_res_zero = pallas_df.df_residual_3d(
+                    self.bcs, hierarchy.dq[0], hierarchy.fine_shape,
+                    zero_rhs=True, interpret=interp,
+                )
+                self._df = self._df_res is not None
+        self.df_defect = self._df
         self._solve_jit = jax.jit(self._solve_impl, static_argnums=(6,))
         # Donating variant for internally-owned buffers (the caller's u0
         # is invalidated) and a zero-rhs variant that materializes the
@@ -252,7 +293,116 @@ class PoissonBVP:
             u_new = u_new - jnp.mean(u_new)
         return u_new, noconv, du_of(du_e), k, hist
 
+    def _mixed_group_df(
+        self, uh, ul, rhsp, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
+    ):
+        """``_mixed_group`` with the outer state as an (hi, lo) f32 pair
+        and the defect computed by the double-float Pallas kernel — same
+        group semantics, ~2^-48 instead of 2^-52 outer precision (du
+        floor ~1e-13; see ops/pallas_df.py).  ``rhsp`` is the rhs pair,
+        or None for the in-kernel zero-rhs variant."""
+        from ..ops.pallas_df import df_add_scaled
+
+        eng32 = self._inner
+        if rhsp is None:
+            r0 = self._df_res_zero(uh, ul)
+        else:
+            r0 = self._df_res(uh, ul, rhsp[0], rhsp[1])
+        s32 = jnp.max(jnp.abs(r0))
+        s = s32.astype(self.outer_dtype)
+        s_safe32 = jnp.where(s32 > 0, s32, jnp.ones_like(s32))
+        s_safe = s_safe32.astype(self.outer_dtype)
+        r32 = r0 / s_safe32
+        eps32 = 32.0 * float(np.finfo(np.float32).eps)
+        ex_tol_eff = jnp.maximum(ex_tol, eps32)
+        e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
+        big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
+
+        def du_of(du_e):
+            d = s_safe * du_e.astype(self.outer_dtype)
+            return jnp.where(s > 0, d, jnp.zeros_like(d))
+
+        def cond(c):
+            _, du_e, du_prev, k, _, _ = c
+            first = k == 0
+            more = jnp.logical_and(
+                du_of(du_e) >= vc_tol,
+                jnp.logical_and(it + k < nmax, k < inner_max),
+            )
+            return jnp.logical_or(first, more)
+
+        def body(c):
+            e, du_e, _, k, nc, h = c
+            e_new, noconv = eng32.t_vcycle(e, r32, ex_tol_eff, nmax_exact)
+            du_new = eng32.t_metric(e_new, e)
+            if h is not None:
+                h = h.at[it + k].set(du_of(du_new))
+            return (e_new, du_new, du_e, k + 1, nc | noconv, h)
+
+        if inner_max == 1:
+            e32, du_e, _, k, noconv, hist = body(
+                (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
+            )
+        else:
+            init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
+            e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
+        uh2, ul2 = df_add_scaled(uh, ul, e32, s_safe32)
+        uh = jnp.where(s32 > 0, uh2, uh)
+        ul = jnp.where(s32 > 0, ul2, ul)
+        return uh, ul, noconv, du_of(du_e), k, hist
+
+    def _solve_df_core(
+        self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, inner_max, hist_len
+    ):
+        """Outer loop of ``_solve_impl``/``_solve_hist_impl`` in
+        double-float defect mode: the iterate is carried as an f32 pair;
+        ``rhs`` may be None (zero-rhs kernel variant).  Semantics match
+        ``_solve_impl`` with outer precision ~2^-48 instead of 2^-52."""
+        from ..ops.pallas_df import df_decompose, df_reconstruct
+
+        inner_max = max(1, int(inner_max))
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
+        vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
+        uh0, ul0 = df_decompose(u0.astype(self.outer_dtype))
+        rhsp = None if rhs is None else df_decompose(rhs.astype(self.outer_dtype))
+        with_hist = hist_len is not None
+        if with_hist:
+            nmax = jnp.minimum(nmax, jnp.int32(hist_len))
+            hist0 = jnp.full((hist_len,), jnp.nan, dtype=self.outer_dtype)
+        else:
+            hist0 = None
+
+        def cond(c):
+            _, _, du, it, _, _ = c
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def body(c):
+            uh, ul, _, it, hist, flag = c
+            uh, ul, noconv, du, ncyc, hist = self._mixed_group_df(
+                uh, ul, rhsp, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
+            )
+            if self.options.debug:
+                from ..utils.compat import callbacks_supported
+
+                if callbacks_supported():
+                    jax.debug.print(
+                        "DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du
+                    )
+            return (uh, ul, du, it + ncyc, hist, flag | noconv)
+
+        init = (uh0, ul0, big, jnp.asarray(0, dtype=jnp.int32), hist0, jnp.asarray(False))
+        uh, ul, du, it, hist, flag = lax.while_loop(cond, body, init)
+        u = df_reconstruct(uh, ul, self.outer_dtype)
+        ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
+        if with_hist:
+            return u, du, it, ierr, hist, flag
+        return u, du, it, ierr, flag
+
     def _solve_impl_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact, inner_max):
+        if self._df:
+            return self._solve_df_core(
+                u0, None, vc_tol, ex_tol, nmax, nmax_exact, inner_max, None
+            )
         rhs = jnp.zeros(self.h.fine_shape, dtype=self.outer_dtype)
         return self._solve_impl(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, inner_max)
 
@@ -266,6 +416,10 @@ class PoissonBVP:
         In mixed mode, cycles run in defect GROUPS (``_mixed_group``):
         ``it`` still counts individual V-cycles and ``du`` is still the
         latest per-V-cycle inter-iterate metric."""
+        if self._df:
+            return self._solve_df_core(
+                u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, inner_max, None
+            )
         mixed = self.mode == "mixed"
         inner_max = max(1, int(inner_max))
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
@@ -307,6 +461,10 @@ class PoissonBVP:
         are capped at min(nmax, hist_len).  The iterate sequence is
         identical to ``_solve_impl`` (mixed defect groups write one
         history entry per inner V-cycle)."""
+        if self._df:
+            return self._solve_df_core(
+                u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, self._inner_max, hist_len
+            )
         mixed = self.mode == "mixed"
         inner_max = self._inner_max
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)

@@ -1,0 +1,442 @@
+"""Pallas TPU kernel: double-float (f32-pair) Poisson defect residual.
+
+TPU-native replacement for the mixed-precision outer loop's float64
+residual pass (reference context: the defect the reference never needed
+— it runs native f64 loops, fortran/ndsm_poisson.f90:280-353; here f64
+is software-emulated and Mosaic rejects f64 entirely, so the emulated
+XLA residual runs at ~10% of HBM bandwidth, PERF_NOTES.md).
+
+Representation: a float64 value x is carried as a pair of float32s
+(hi, lo) with hi = f32(x), lo = f32(x - hi) — relative precision
+~2^-48 ≈ 3.6e-15 (IEEE double-float).  The kernel computes
+
+    r = rhs - sum_ax w_ax * ((lo_nb - u) + (hi_nb - u))
+
+to the *pair representation floor* using error-free transformations,
+and emits the plain-f32 residual (exactly what the mixed engine stores:
+mg/poisson._mixed_group casts the scaled defect to f32 anyway).
+
+Error budget (h = grid spacing, w = 1/h^2, U = |u| scale, R = |rhs|):
+  * hi channel: neighbor differences d ~ u'h suffer w-amplification of
+    any plain-f32 rounding (w * ulp(d) ~ 1e-5 R), so d uses TwoDiff,
+    the d-pair sum TwoSum, the weight product a Dekker TwoProd against
+    the pair-split weight, and the cross-axis accumulation TwoSum —
+    residual error ~1e-13 R.
+  * lo channel: |u_lo| <= ulp(|u|)/2, so a PLAIN f32 stencil on u_lo
+    keeps its rounding error (~6e-8 * w * |u_lo| ~ 4e-10 R) at the pair
+    representation floor w * 2^-48 U — compensating it further cannot
+    improve the achievable residual of a pair-valued iterate.
+  * combine: r_main = TwoDiff(rhs_hi, L_hi); the medium-magnitude lo
+    Laplacian joins by TwoSum; all <=ulp-scale terms join plain.
+The measured du floor of the resulting defect iteration is ~1e-13,
+comfortably below the reference's vc_tol = 1e-10 contract (see
+tests/test_pallas_df.py).
+
+Boundary semantics are those of ops/stencils.poisson_residual: Neumann
+index reflection (the out-of-range neighbor i = -1 reads u[1]) realized
+as a face-row swap of the already-computed lower/upper differences, and
+residual zeroed on Dirichlet-face points (static bcs -> in-kernel
+global-index masks).
+
+Pipeline: (tz+2, ty+16, nx) windows of each stream double-buffered
+through VMEM with the fetch/compute/ship schedule proven by
+ops/pallas_zc.py on the axon toolchain; 1-deep z halo, 8-aligned y halo
+(sublane DMA alignment), full-x rows (lane alignment nx % 128).
+HBM traffic: 20 B/point (u pair + rhs pair + f32 residual out), or
+12 B/point for the zero-rhs variant the vector-potential component
+solves use — versus 24+ B/point of emulated-f64 XLA passes at a tenth
+of the bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencils import BCS
+
+__all__ = [
+    "df_decompose",
+    "df_reconstruct",
+    "df_add_scaled",
+    "df_residual_3d",
+    "df_residual_supported",
+    "pick_tiles_df",
+]
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+_F32 = jnp.float32
+_SPLIT = 4097.0  # 2**12 + 1: Veltkamp split constant for f32
+
+
+# ----------------------------------------------------------------------
+# XLA-level double-float glue (outside the kernel)
+# ----------------------------------------------------------------------
+
+
+def df_decompose(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """float64 array -> (hi, lo) float32 pair with hi + lo == x to f32-pair
+    precision (hi = f32(x), lo = f32(x - hi); exact because x - hi is
+    computed in f64 and |x - hi| <= ulp(hi)/2 fits one f32)."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+def df_reconstruct(hi: jax.Array, lo: jax.Array, dtype=jnp.float64) -> jax.Array:
+    """(hi, lo) float32 pair -> float64 (exact: both casts are exact)."""
+    return hi.astype(dtype) + lo.astype(dtype)
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _two_diff(a, b):
+    s = a - b
+    bb = s - a
+    err = (a - (s - bb)) - (b + bb)
+    return s, err
+
+
+def _quick_renorm(s, e):
+    """Renormalize a non-overlapping-ish pair (|e| not >> ulp(s))."""
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def df_add_scaled(uh, ul, e32, s):
+    """Pair update u <- u + s*e32 (s, e32 float32), renormalized.
+
+    Pure f32 elementwise (XLA fuses it into one pass); the product's
+    plain rounding (~6e-8 * s * |e|) only perturbs the NEXT defect's
+    input, which the defect-correction iteration measures and corrects —
+    only the final group's update rounding (<= 6e-8 * du_last) persists.
+    """
+    p = (s * e32).astype(jnp.float32)
+    t, te = _two_sum(uh, p)
+    return _quick_renorm(t, te + ul)
+
+
+# ----------------------------------------------------------------------
+# Kernel
+# ----------------------------------------------------------------------
+
+
+def pick_tiles_df(shape: Tuple[int, int, int]) -> Optional[Tuple[int, int, int, int]]:
+    """(tz, ty, W_z, W_y): tile divisors and window extents under the
+    VMEM budget.  Halos: 1 plane in z, 8 rows in y (sublane alignment);
+    a window capped at the full axis is halo-free there.  Budget counts
+    4 double-buffered input streams + the out buffer + the compensated
+    stencil's live temporaries (~12 dense units measured as Mosaic
+    scoped stack)."""
+    nz, ny, nx = shape
+    best, best_frac = None, 0.0
+    for tz in range(1, min(nz, 256) + 1):
+        if nz % tz:
+            continue
+        for ty in range(8, min(ny, 256) + 1, 8):
+            if ny % ty:
+                continue
+            wz = min(nz, tz + 2)
+            wy = min(ny, ty + 16)
+            if 22 * wz * wy * nx * 4 > _VMEM_BUDGET:
+                continue
+            frac = (tz * ty) / (wz * wy)
+            if frac > best_frac:
+                best_frac, best = frac, (tz, ty, wz, wy)
+    return best
+
+
+def df_residual_supported(shape, dtype, interpret: bool = False) -> bool:
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    nz, ny, nx = shape
+    if min(nz, ny, nx) < 3:
+        return False  # face-swap reflection assumes the faces are distinct
+    if not interpret and nx % 128 != 0:
+        return False  # lane-aligned dense DMA rows
+    if not interpret and ny % 8 != 0:
+        return False  # sublane-aligned window clamps
+    return pick_tiles_df(tuple(shape)) is not None
+
+
+def _clamp_shifts(v, axis: int):
+    """(lower, upper) in-window clamp shifts: out-of-window neighbors
+    repeat the edge value.  For real points the window provides the true
+    neighbor (1-deep halo); window edges that coincide with GLOBAL faces
+    are fixed up by the face-row difference swap in the kernel."""
+    n = v.shape[axis]
+    lo = jnp.concatenate(
+        [lax.slice_in_dim(v, 0, 1, axis=axis), lax.slice_in_dim(v, 0, n - 1, axis=axis)],
+        axis=axis,
+    )
+    hi = jnp.concatenate(
+        [lax.slice_in_dim(v, 1, n, axis=axis), lax.slice_in_dim(v, n - 1, n, axis=axis)],
+        axis=axis,
+    )
+    return lo, hi
+
+
+def _df_kernel(
+    *refs,
+    nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
+    w_pairs, w_splits, zero_rhs: bool, bcs: BCS,
+):
+    if zero_rhs:
+        (uh_hbm, ul_hbm, out_ref, bufUH, bufUL, bufO, in_sems, out_sems) = refs
+        bufRH = bufRL = None
+    else:
+        (
+            uh_hbm, ul_hbm, rh_hbm, rl_hbm, out_ref,
+            bufUH, bufUL, bufRH, bufRL, bufO, in_sems, out_sems,
+        ) = refs
+    i = jnp.int32(pl.program_id(0))
+    j = jnp.int32(pl.program_id(1))
+    gy = jnp.int32(pl.num_programs(1))
+    step = i * gy + j
+    total = jnp.int32(pl.num_programs(0)) * gy
+    i32 = jnp.int32
+
+    def _clip(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, i32(lo)), i32(hi))
+
+    def window_starts(ii, jj):
+        sz = _clip(ii * i32(tz) - i32(1), 0, nz - W_z)
+        sy = _clip(jj * i32(ty) - i32(8), 0, ny - W_y)
+        return sz, pl.multiple_of(sy, 8)
+
+    streams = ((uh_hbm, bufUH), (ul_hbm, bufUL))
+    if not zero_rhs:
+        streams = streams + ((rh_hbm, bufRH), (rl_hbm, bufRL))
+
+    def fetch(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        win = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+        return [
+            pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
+            for k, (src, buf) in enumerate(streams)
+        ]
+
+    def out_dmas(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        z0 = ii * i32(tz)
+        y0 = pl.multiple_of(jj * i32(ty), 8)
+        src = (slot, pl.ds(z0 - sz, tz), pl.ds(pl.multiple_of(y0 - sy, 8), ty), slice(None))
+        dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
+        return [
+            pltpu.make_async_copy(bufO.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
+        ]
+
+    slot = lax.rem(step, i32(2))
+
+    @pl.when(step == i32(0))
+    def _():
+        for d in fetch(i32(0), i, j):
+            d.start()
+
+    @pl.when(step + i32(1) < total)
+    def _():
+        nstep = step + i32(1)
+        ni, nj = nstep // gy, lax.rem(nstep, gy)
+
+        @pl.when(step >= i32(1))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+        for d in fetch(lax.rem(nstep, i32(2)), ni, nj):
+            d.start()
+
+    for d in fetch(slot, i, j):
+        d.wait()
+
+    sz, sy = window_starts(i, j)
+    az = lax.broadcasted_iota(jnp.int32, (W_z, 1, 1), 0)
+    ly = lax.broadcasted_iota(jnp.int32, (1, W_y, 1), 1)
+    kx = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+    gz = az + sz
+    gyy = ly + sy
+
+    def face_masks(ax):
+        if ax == 0:
+            return gz == i32(0), gz == i32(nz - 1)
+        if ax == 1:
+            return gyy == i32(0), gyy == i32(ny - 1)
+        return kx == i32(0), kx == i32(nx - 1)
+
+    uh = bufUH[slot]
+    ul = bufUL[slot]
+
+    # ---- hi channel: compensated stencil L(u_hi) as a (Lh, Le) pair.
+    Lh = None
+    Le = None
+    Ll = jnp.zeros_like(uh)  # lo channel, plain f32
+    for ax in range(3):
+        wf, wl = w_pairs[ax]
+        wh_h, wh_l = w_splits[ax]
+        at_lo, at_hi = face_masks(ax)
+
+        nlo, nhi = _clamp_shifts(uh, ax)
+        d1, e1 = _two_diff(nlo, uh)
+        d2, e2 = _two_diff(nhi, uh)
+        # Neumann index reflection: at the global lower face the lower
+        # neighbor is u[1] (== the upper difference); symmetric at the
+        # upper face.  Swap from the pre-substitution values.
+        d1n = jnp.where(at_lo, d2, d1)
+        e1n = jnp.where(at_lo, e2, e1)
+        d2n = jnp.where(at_hi, d1, d2)
+        e2n = jnp.where(at_hi, e1, e2)
+
+        t, te = _two_sum(d1n, d2n)
+        sm = te + (e1n + e2n)
+
+        # Dekker TwoProd of t against the pair-split weight hi part,
+        # plus the (plain-magnitude) correction terms.
+        p = t * jnp.float32(wf)
+        th_c = jnp.float32(_SPLIT) * t
+        t_big = th_c - t
+        t_h = th_c - t_big
+        t_l = t - t_h
+        perr = (
+            (jnp.float32(wh_h) * t_h - p)
+            + jnp.float32(wh_h) * t_l
+            + jnp.float32(wh_l) * t_h
+        ) + jnp.float32(wh_l) * t_l
+        perr = perr + (jnp.float32(wf) * sm + jnp.float32(wl) * t)
+
+        if Lh is None:
+            Lh, Le = p, perr
+        else:
+            Lh, c = _two_sum(Lh, p)
+            Le = Le + (c + perr)
+
+        # ---- lo channel: plain stencil on u_lo (error budget in the
+        # module docstring: already at the pair representation floor).
+        nlo_l, nhi_l = _clamp_shifts(ul, ax)
+        dl1 = nlo_l - ul
+        dl2 = nhi_l - ul
+        dl1n = jnp.where(at_lo, dl2, dl1)
+        dl2n = jnp.where(at_hi, dl1, dl2)
+        Ll = Ll + (dl1n + dl2n) * jnp.float32(wf)
+
+    # ---- combine: r = (rhs_hi + rhs_lo) - (Lh + Le + Ll)
+    if zero_rhs:
+        rm, rme = _two_diff(jnp.float32(0.0) - Lh, Ll)  # -(Lh) - Ll, exact pair
+        smalls = rme - Le
+    else:
+        rh = bufRH[slot]
+        rl = bufRL[slot]
+        rm, rme = _two_diff(rh, Lh)
+        rm, c2 = _two_diff(rm, Ll)
+        smalls = rme + c2 + (rl - Le)
+    r32 = rm + smalls
+
+    # ---- Dirichlet-face points: residual is zero (static bcs).
+    interior = None
+
+    def _and(m, c):
+        return c if m is None else jnp.logical_and(m, c)
+
+    for ax in range(3):
+        at_lo, at_hi = face_masks(ax)
+        if bcs[ax][0] == "D":
+            interior = _and(interior, ~at_lo)
+        if bcs[ax][1] == "D":
+            interior = _and(interior, ~at_hi)
+    if interior is not None:
+        r32 = jnp.where(interior, r32, jnp.float32(0.0))
+
+    bufO[slot] = r32
+
+    for d in out_dmas(slot, i, j):
+        d.start()
+
+    @pl.when(step == total - i32(1))
+    def _():
+        for d in out_dmas(slot, i, j):
+            d.wait()
+
+        @pl.when(total >= i32(2))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+
+def df_residual_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    zero_rhs: bool = False,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Build the double-float defect-residual callable, or None if the
+    shape is unsupported.  Returns call(u_hi, u_lo[, rhs_hi, rhs_lo]) ->
+    r32 with r32 ~= f32(rhs - L(u)) evaluated at f32-pair precision
+    (semantics of ops/stencils.poisson_residual on the f64-reconstructed
+    inputs; max deviation ~1e-13 of the stencil-term scale)."""
+    bcs = tuple(tuple(b) for b in bcs)
+    shape = tuple(int(s) for s in shape)
+    if not df_residual_supported(shape, dtype, interpret=interpret):
+        return None
+    nz, ny, nx = shape
+    tz, ty, W_z, W_y = pick_tiles_df(shape)
+
+    # Weights as f64 -> (hi, lo) f32 pairs; hi parts Veltkamp-split for
+    # the in-kernel Dekker products (python-float constants).
+    dq = np.asarray(dq, dtype=np.float64)
+    w64 = 1.0 / (dq * dq)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    w_pairs = tuple((float(h), float(l)) for h, l in zip(w_hi, w_lo))
+
+    def _vsplit(a: float):
+        c = np.float32(_SPLIT) * np.float32(a)
+        big = np.float32(c - np.float32(a))
+        h = np.float32(c - big)
+        return float(h), float(np.float32(a) - h)
+
+    w_splits = tuple(_vsplit(h) for h, _ in w_pairs)
+
+    kernel = functools.partial(
+        _df_kernel,
+        nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
+        w_pairs=w_pairs, w_splits=w_splits, zero_rhs=zero_rhs, bcs=bcs,
+    )
+    grid = (nz // tz, ny // ty)
+    n_in = 2 if zero_rhs else 4
+    scratch = [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * (n_in + 1) + [
+        pltpu.SemaphoreType.DMA((2, n_in)),
+        pltpu.SemaphoreType.DMA((2, 1)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=int(190 * nz * ny * nx),
+            bytes_accessed=int((n_in + 1) * 4 * nz * ny * nx),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )

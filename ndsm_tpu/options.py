@@ -78,6 +78,15 @@ class Options:
     #: strict one-V-cycle-per-defect iteration (used by checkpointed
     #: solves so chunking cannot split a group).
     mixed_inner_max: int = 6
+    #: Mixed-mode defect arithmetic: "f64" computes the outer residual /
+    #: update in (software-emulated) float64 XLA; "df32" uses the
+    #: double-float Pallas kernel (ops/pallas_df.py) — two f32 words per
+    #: value, compensated stencil arithmetic, ~2^-48 relative precision,
+    #: running at f32 kernel rates instead of emulated-f64 (the du floor
+    #: rises from ~1e-16 to ~1e-13, still 3 decades under the vc_tol
+    #: contract).  "auto" = df32 whenever the Pallas smoother stack is
+    #: active and the fine level is kernel-eligible, else f64.
+    mixed_defect: str = "auto"
     #: Coarsest-grid solver: "relax" iterates to ex_tol exactly like the
     #: reference (ndsm_multigrid_core.f90:728); "direct" applies a
     #: precomputed dense (pseudo)inverse in one matvec (same limit, no

@@ -1,0 +1,173 @@
+"""Double-float (f32-pair) defect kernel: accuracy of the compensated
+residual against the float64 oracle, and the mixed-precision engine's
+df32 mode (Options.mixed_defect) — interpret mode on CPU.
+
+The compiled path is exercised on real TPU by the perf scripts (see
+PERF_NOTES.md round 3); these tests pin the numerics.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ndsm_tpu import GridHierarchy, Options, PoissonBVP
+from ndsm_tpu.ops import stencils
+from ndsm_tpu.ops import pallas_df as dfm
+
+
+def _case(n, seed=0):
+    """Near-converged iterate: rhs := L(u) with u then slightly
+    perturbed, so the true residual is ~1e-9 of the stencil-term scale
+    — the regime the defect pass exists for (catastrophic cancellation
+    of the w-weighted terms), where a naive f32 evaluation is pure
+    noise.  The 1e-8 noise on u exercises the lo words."""
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0.0, 1.0, n)
+    dq = np.array([x[1] - x[0]] * 3)
+    z, y, xx = np.meshgrid(x, x, x, indexing="ij")
+    u = np.sin(2.1 * z + 0.3) * np.cos(1.7 * y) * np.sin(2.9 * xx + 1.1)
+    u = u + 1e-8 * rng.standard_normal((n, n, n))
+    return u, dq
+
+
+@pytest.mark.parametrize(
+    "bcs",
+    [
+        (("N", "N"), ("N", "N"), ("D", "D")),
+        (("D", "N"), ("N", "D"), ("N", "N")),
+    ],
+)
+def test_df_residual_matches_f64_oracle(bcs):
+    """In the cancellation regime the pair kernel tracks the f64
+    residual to the pair representation floor (~1e-12 of the term
+    scale) — ~6 decades tighter than a naive f32 stencil."""
+    n = 24
+    u, dq = _case(n)
+    rhs = -np.asarray(
+        stencils.poisson_residual(
+            jnp.asarray(u), jnp.zeros((n, n, n)), jnp.asarray(dq), bcs
+        )
+    )
+    u = u * (1 + 1e-9) + 1e-9
+
+    uh, ul = dfm.df_decompose(jnp.asarray(u))
+    rh, rl = dfm.df_decompose(jnp.asarray(rhs))
+    call = dfm.df_residual_3d(bcs, dq, (n, n, n), interpret=True)
+    assert call is not None
+    r_df = np.asarray(call(uh, ul, rh, rl), dtype=np.float64)
+
+    r64 = np.asarray(
+        stencils.poisson_residual(
+            jnp.asarray(u, jnp.float64), jnp.asarray(rhs, jnp.float64),
+            jnp.asarray(dq), bcs,
+        )
+    )
+    r32_naive = np.asarray(
+        stencils.poisson_residual(
+            jnp.asarray(u, jnp.float32), jnp.asarray(rhs, jnp.float32),
+            jnp.asarray(dq), bcs,
+        ),
+        dtype=np.float64,
+    )
+    scale = float(np.abs(rhs).max())
+    assert np.abs(r64).max() < 1e-6 * scale  # we are in the regime
+    err_df = np.abs(r_df - r64).max() / scale
+    err_naive = np.abs(r32_naive - r64).max() / scale
+    assert err_df < 1e-12
+    assert err_df < 1e-5 * err_naive  # the compensation is doing the work
+
+
+def test_df_residual_zero_rhs_variant():
+    n = 16
+    u, dq = _case(n, seed=3)
+    bcs = (("N", "N"), ("D", "D"), ("N", "N"))
+    uh, ul = dfm.df_decompose(jnp.asarray(u))
+    z = jnp.zeros((n, n, n), jnp.float32)
+    full = dfm.df_residual_3d(bcs, dq, (n, n, n), interpret=True)
+    zero = dfm.df_residual_3d(bcs, dq, (n, n, n), zero_rhs=True, interpret=True)
+    r_full = np.asarray(full(uh, ul, z, z))
+    r_zero = np.asarray(zero(uh, ul))
+    np.testing.assert_array_equal(r_full, r_zero)
+
+
+def test_df_add_scaled_pair_update():
+    rng = np.random.default_rng(7)
+    u = rng.standard_normal(512)
+    e = rng.standard_normal(512).astype(np.float32)
+    s = np.float32(3.7e-4)
+    uh, ul = dfm.df_decompose(jnp.asarray(u))
+    uh2, ul2 = dfm.df_add_scaled(uh, ul, jnp.asarray(e), s)
+    got = np.asarray(dfm.df_reconstruct(uh2, ul2))
+    want = u + np.float64(s) * e.astype(np.float64)
+    # one f32 product rounding + pair representation
+    assert np.abs(got - want).max() < 1e-10 * np.abs(want).max()
+    # pair stays normalized
+    assert np.abs(np.asarray(ul2)).max() <= 1e-7 * np.abs(np.asarray(uh2)).max() * 2
+
+
+def _solve_pair(n, mixed_defect, monkeypatch, vc_tol=1e-10):
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=3)
+    bcs = (("D", "D"), ("N", "N"), ("N", "D"))
+    rng = np.random.default_rng(11)
+    rhs = rng.standard_normal((n, n, n))
+    opts = Options(
+        precision="mixed", vc_tol=vc_tol, ncycles_max=64, ms=3,
+        mixed_defect=mixed_defect,
+    )
+    bvp = PoissonBVP(h, bcs, opts)
+    u, info = bvp.solve(np.zeros_like(rhs), rhs)
+    return bvp, np.asarray(u), info
+
+
+def test_df32_solve_matches_f64_defect(monkeypatch):
+    """mixed_defect='df32' converges to the SAME solution as the f64
+    defect (within pair precision) and honors the vc_tol=1e-10 contract
+    — the key claim of the double-float mode."""
+    n = 24
+    bvp_df, u_df, info_df = _solve_pair(n, "df32", monkeypatch)
+    assert bvp_df.df_defect
+    bvp_64, u_64, info_64 = _solve_pair(n, "f64", monkeypatch)
+    assert not bvp_64.df_defect
+    assert info_df.ierr == 0 and info_64.ierr == 0
+    assert abs(info_df.cycles - info_64.cycles) <= 2
+    np.testing.assert_allclose(u_df, u_64, rtol=0, atol=5e-10)
+
+
+def test_df32_history_semantics(monkeypatch):
+    """history=True in df mode keeps the one-entry-per-V-cycle contract
+    and a monotone-converging tail under vc_tol."""
+    n = 16
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("N", "N"))
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal((n, n, n))
+    opts = Options(
+        precision="mixed", vc_tol=1e-8, ncycles_max=40, mixed_defect="df32"
+    )
+    bvp = PoissonBVP(h, bcs, opts)
+    assert bvp.df_defect
+    u, info = bvp.solve(np.zeros_like(rhs), rhs, history=True)
+    assert info.ierr == 0
+    hist = info.du_history
+    assert np.isfinite(hist[: info.cycles]).all()
+    assert np.isnan(hist[info.cycles :]).all()
+    assert hist[info.cycles - 1] < 1e-8
+
+
+def test_df_gates_off_all_neumann_and_2d(monkeypatch):
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 16
+    x = np.linspace(0, 1, n)
+    h3 = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    opts = Options(precision="mixed", mixed_defect="auto")
+    assert not PoissonBVP(h3, (("N", "N"),) * 3, opts).df_defect
+    h2 = GridHierarchy.from_mesh((x, x), ngrids=2)
+    assert not PoissonBVP(h2, (("D", "D"), ("N", "N")), opts).df_defect
