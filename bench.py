@@ -160,6 +160,10 @@ def smoother_throughput(n: int, precision: str):
         "smoother_backend": backend,
         "smoother_gdof_s": round(rate / 1e9, 2),
         "smoother_sol_pct": round(100.0 * rate / sol, 1),
+        # Outer-defect arithmetic at the aligned shape: "df32" = the
+        # double-float Pallas kernel (ops/pallas_df.py), "f64" = emulated
+        # float64 XLA.
+        "defect_backend": "df32" if getattr(bvp, "df_defect", False) else "f64",
     }
 
 

@@ -150,6 +150,41 @@ class MultiBCSolver:
         self.use_pallas = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
         self._pallas_fns: dict = {}
 
+        # Double-float defect (per-lane zero-rhs kernels; this solver's
+        # right-hand sides are identically zero) — see ops/pallas_df.py
+        # and PoissonBVP.  Static per-lane bcs -> one kernel per lane.
+        self._df = False
+        self._df_lane_res = None
+        md = getattr(options, "mixed_defect", "auto")
+        if self.mode == "mixed" and md != "f64" and hierarchy.ndim == 3:
+            from ..ops import pallas_df
+            from .engine import _pallas_min_points
+
+            interp = self.use_pallas == "interpret"
+            want = (
+                self.use_pallas in ("on", "interpret")
+                if md == "auto"
+                else self.use_pallas != "off"
+            )
+            if (
+                want
+                and int(np.prod(hierarchy.fine_shape)) >= _pallas_min_points()
+                and pallas_df.df_residual_supported(
+                    hierarchy.fine_shape, jnp.float32, interpret=interp
+                )
+            ):
+                fns = tuple(
+                    pallas_df.df_residual_3d(
+                        bcs, hierarchy.dq[0], hierarchy.fine_shape,
+                        zero_rhs=True, interpret=interp,
+                    )
+                    for bcs in self.bcs_list
+                )
+                if all(f is not None for f in fns):
+                    self._df_lane_res = fns
+                    self._df = True
+        self.df_defect = self._df
+
         self._solve_jit = jax.jit(self._solve_impl, donate_argnums=(0,))
 
     # -- batched level ops ---------------------------------------------
@@ -567,6 +602,118 @@ class MultiBCSolver:
         e = jnp.where((s > 0).reshape(shape1), e, jnp.zeros_like(e))
         return u + e, noconv, du_of(du_e), k
 
+    def _mixed_group_df(self, uh, ul, ex_tol, nmax_exact, vc_tol, it_vec, nmax, inner_max):
+        """``_mixed_group`` with the stacked outer state as an (hi, lo)
+        f32 pair and the per-lane defect from the double-float zero-rhs
+        Pallas kernels (ops/pallas_df.py) — per-lane group semantics
+        unchanged, outer precision ~2^-48 instead of 2^-52."""
+        from ..ops.pallas_df import df_add_scaled
+
+        B = self.B
+        shape1 = (B,) + (1,) * (uh.ndim - 1)
+        r0 = jnp.stack([self._df_lane_res[b](uh[b], ul[b]) for b in range(B)])
+        s32 = jnp.max(jnp.abs(r0).reshape(B, -1), axis=1)
+        s = s32.astype(self.outer_dtype)
+        s_safe32 = jnp.where(s32 > 0, s32, jnp.ones_like(s32))
+        s_safe = s_safe32.astype(self.outer_dtype)
+        sb32 = s_safe32.reshape(shape1)
+        r32 = r0 / sb32
+        eps32 = 32.0 * float(np.finfo(np.float32).eps)
+        ex_tol_eff = jnp.maximum(ex_tol, eps32)
+        e0 = jnp.zeros(r32.shape, dtype=self.inner_dtype)
+        big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
+
+        def du_of(du_e):
+            d = s_safe * du_e.astype(self.outer_dtype)
+            return jnp.where(s > 0, d, jnp.zeros_like(d))
+
+        def act_of(c):
+            _, du_e, du_prev, k, _ = c
+            first = k == 0
+            more = (
+                (du_of(du_e) >= vc_tol)
+                & (it_vec + k < nmax)
+                & (k < inner_max)
+            )
+            return first | more
+
+        def cond(c):
+            return jnp.any(act_of(c))
+
+        def body(c):
+            e, du_e, du_prev, k, nc = c
+            a = act_of(c)
+            e_new, noconv = self._vcycle(e, r32, ex_tol_eff, nmax_exact)
+            du_new = self._metric(e_new, e)
+            sel = a.reshape(shape1)
+            du_prev = jnp.where(a, du_e, du_prev)
+            return (
+                jnp.where(sel, e_new, e),
+                jnp.where(a, du_new, du_e),
+                du_prev,
+                k + a.astype(jnp.int32),
+                nc | (noconv & a),
+            )
+
+        init = (
+            e0,
+            jnp.full((B,), big32),
+            jnp.full((B,), big32),
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool),
+        )
+        if inner_max == 1:
+            e32, du_e, _, k, noconv = body(init)
+        else:
+            e32, du_e, _, k, noconv = lax.while_loop(cond, body, init)
+        uh2, ul2 = df_add_scaled(uh, ul, e32, sb32)
+        live = (s32 > 0).reshape(shape1)
+        uh = jnp.where(live, uh2, uh)
+        ul = jnp.where(live, ul2, ul)
+        return uh, ul, noconv, du_of(du_e), k
+
+    def _solve_impl_df(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
+        """``_solve_impl`` in double-float defect mode: the stacked
+        iterate is carried as an f32 pair (see PoissonBVP._solve_df_core)."""
+        from ..ops.pallas_df import df_decompose, df_reconstruct
+
+        inner_max = self._inner_max
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, self.outer_dtype)
+        vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
+        uh0, ul0 = df_decompose(u0)
+
+        def active_of(du, it):
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def cond(c):
+            _, _, du, it, _ = c
+            return jnp.any(active_of(du, it))
+
+        def body(c):
+            uh, ul, du, it, flag = c
+            active = active_of(du, it)
+            uh_n, ul_n, noconv, du_new, ncyc = self._mixed_group_df(
+                uh, ul, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+            )
+            sel = active.reshape((self.B,) + (1,) * (uh.ndim - 1))
+            uh = jnp.where(sel, uh_n, uh)
+            ul = jnp.where(sel, ul_n, ul)
+            du = jnp.where(active, du_new, du)
+            it = it + jnp.where(active, ncyc, 0)
+            return (uh, ul, du, it, flag | (noconv & active))
+
+        init = (
+            uh0,
+            ul0,
+            jnp.full((self.B,), big),
+            jnp.zeros((self.B,), jnp.int32),
+            jnp.zeros((self.B,), bool),
+        )
+        uh, ul, du, it, flag = lax.while_loop(cond, body, init)
+        u = df_reconstruct(uh, ul, self.outer_dtype)
+        ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
+        return u, du, it, ierr, flag
+
     # -- driver ---------------------------------------------------------
 
     def _solve_impl(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
@@ -575,6 +722,8 @@ class MultiBCSolver:
         the component solves is materialized in-program (XLA folds
         ``0 - lap`` to ``-lap``: no dead 3x134 MB upload/stream); mixed
         V-cycles run in per-lane defect groups (``_mixed_group``)."""
+        if self._df:
+            return self._solve_impl_df(u0, vc_tol, ex_tol, nmax, nmax_exact)
         rhs = jnp.zeros_like(u0)
         mixed = self.mode != "fp64"
         inner_max = self._inner_max

@@ -171,3 +171,48 @@ def test_df_gates_off_all_neumann_and_2d(monkeypatch):
     assert not PoissonBVP(h3, (("N", "N"),) * 3, opts).df_defect
     h2 = GridHierarchy.from_mesh((x, x), ngrids=2)
     assert not PoissonBVP(h2, (("D", "D"), ("N", "N")), opts).df_defect
+
+
+def test_batched_df32_matches_sequential(monkeypatch):
+    """MultiBCSolver in df32 mode: per-lane cycles/solutions equal the
+    standalone df32 PoissonBVP solves (lane freezing preserved), and
+    both agree with the f64-defect solves at pair precision."""
+    from ndsm_tpu.mg.batched import MultiBCSolver
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 16
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    comp_bcs = [
+        tuple(("N", "N") if (2 - ax) == c else ("D", "D") for ax in range(3))
+        for c in range(3)
+    ]
+    rng = np.random.default_rng(0)
+    u0s = []
+    for c in range(3):
+        u0 = np.zeros((n, n, n))
+        if c != 2:
+            u0[0] = rng.standard_normal((n, n))
+            u0[-1] = rng.standard_normal((n, n))
+        if c != 1:
+            u0[:, 0] = rng.standard_normal((n, n))
+        if c != 0:
+            u0[:, :, 0] = rng.standard_normal((n, n))
+        u0s.append(u0)
+    opts = Options(precision="mixed", mixed_defect="df32")
+    mbs = MultiBCSolver(h, comp_bcs, opts)
+    assert mbs.df_defect
+    u_b, infos_b = mbs.solve(np.stack(u0s))
+    for c in range(3):
+        bvp = PoissonBVP(h, comp_bcs[c], opts)
+        assert bvp.df_defect
+        u_s, info_s = bvp.solve(u0s[c], None, zero_rhs=True)
+        assert infos_b[c].ierr == 0
+        assert infos_b[c].cycles == info_s.cycles
+        d = np.abs(np.asarray(u_b[c]) - np.asarray(u_s)).max()
+        assert d <= 5e-12, (c, d)
+        bvp64 = PoissonBVP(h, comp_bcs[c], Options(precision="mixed", mixed_defect="f64"))
+        u_64, _ = bvp64.solve(u0s[c], None, zero_rhs=True)
+        d64 = np.abs(np.asarray(u_s) - np.asarray(u_64)).max()
+        assert d64 <= 1e-9, (c, d64)
