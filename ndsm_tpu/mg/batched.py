@@ -606,26 +606,27 @@ class MultiBCSolver:
         """``_mixed_group`` with the stacked outer state as an (hi, lo)
         f32 pair and the per-lane defect from the double-float zero-rhs
         Pallas kernels (ops/pallas_df.py) — per-lane group semantics
-        unchanged, outer precision ~2^-48 instead of 2^-52."""
-        from ..ops.pallas_df import df_add_scaled
+        unchanged, outer precision ~2^-48 instead of 2^-52.  Inner
+        V-cycles run on the UNSCALED defect (see
+        PoissonBVP._mixed_group_df); the eps32 coarse floor is scaled by
+        the cross-lane max|r| — inert in this solver's coarse_direct
+        configurations."""
+        from ..ops.pallas_df import df_add
 
         B = self.B
         shape1 = (B,) + (1,) * (uh.ndim - 1)
-        r0 = jnp.stack([self._df_lane_res[b](uh[b], ul[b]) for b in range(B)])
-        s32 = jnp.max(jnp.abs(r0).reshape(B, -1), axis=1)
-        s = s32.astype(self.outer_dtype)
-        s_safe32 = jnp.where(s32 > 0, s32, jnp.ones_like(s32))
-        s_safe = s_safe32.astype(self.outer_dtype)
-        sb32 = s_safe32.reshape(shape1)
-        r32 = r0 / sb32
+        outs = [self._df_lane_res[b](uh[b], ul[b]) for b in range(B)]
+        r32 = jnp.stack([o[0] for o in outs])
+        s = jnp.max(jnp.stack([jnp.max(o[1]) for o in outs])).astype(
+            self.outer_dtype
+        )
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
-        ex_tol_eff = jnp.maximum(ex_tol, eps32)
+        ex_tol_eff = jnp.maximum(ex_tol, eps32 * s)
         e0 = jnp.zeros(r32.shape, dtype=self.inner_dtype)
         big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
 
         def du_of(du_e):
-            d = s_safe * du_e.astype(self.outer_dtype)
-            return jnp.where(s > 0, d, jnp.zeros_like(d))
+            return du_e.astype(self.outer_dtype)
 
         def act_of(c):
             _, du_e, du_prev, k, _ = c
@@ -666,10 +667,7 @@ class MultiBCSolver:
             e32, du_e, _, k, noconv = body(init)
         else:
             e32, du_e, _, k, noconv = lax.while_loop(cond, body, init)
-        uh2, ul2 = df_add_scaled(uh, ul, e32, sb32)
-        live = (s32 > 0).reshape(shape1)
-        uh = jnp.where(live, uh2, uh)
-        ul = jnp.where(live, ul2, ul)
+        uh, ul = df_add(uh, ul, e32)
         return uh, ul, noconv, du_of(du_e), k
 
     def _solve_impl_df(self, u0, vc_tol, ex_tol, nmax, nmax_exact):

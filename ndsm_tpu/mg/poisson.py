@@ -300,27 +300,28 @@ class PoissonBVP:
         and the defect computed by the double-float Pallas kernel — same
         group semantics, ~2^-48 instead of 2^-52 outer precision (du
         floor ~1e-13; see ops/pallas_df.py).  ``rhsp`` is the rhs pair,
-        or None for the in-kernel zero-rhs variant."""
-        from ..ops.pallas_df import df_add_scaled
+        or None for the in-kernel zero-rhs variant.
+
+        Unlike ``_mixed_group``, the inner V-cycles run on the UNSCALED
+        defect: f32 resolution is relative, so unit-scaling only ever
+        mattered for the absolute eps32 coarse-tolerance floor — which
+        is scaled by max|r| instead (from the kernel's in-window max
+        output; no full-array XLA |r| or scale pass)."""
+        from ..ops.pallas_df import df_add
 
         eng32 = self._inner
         if rhsp is None:
-            r0 = self._df_res_zero(uh, ul)
+            r32, mx = self._df_res_zero(uh, ul)
         else:
-            r0 = self._df_res(uh, ul, rhsp[0], rhsp[1])
-        s32 = jnp.max(jnp.abs(r0))
-        s = s32.astype(self.outer_dtype)
-        s_safe32 = jnp.where(s32 > 0, s32, jnp.ones_like(s32))
-        s_safe = s_safe32.astype(self.outer_dtype)
-        r32 = r0 / s_safe32
+            r32, mx = self._df_res(uh, ul, rhsp[0], rhsp[1])
+        s = jnp.max(mx).astype(self.outer_dtype)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
-        ex_tol_eff = jnp.maximum(ex_tol, eps32)
+        ex_tol_eff = jnp.maximum(ex_tol, eps32 * s)
         e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
         big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
 
         def du_of(du_e):
-            d = s_safe * du_e.astype(self.outer_dtype)
-            return jnp.where(s > 0, d, jnp.zeros_like(d))
+            return du_e.astype(self.outer_dtype)
 
         def cond(c):
             _, du_e, du_prev, k, _, _ = c
@@ -346,9 +347,7 @@ class PoissonBVP:
         else:
             init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
             e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
-        uh2, ul2 = df_add_scaled(uh, ul, e32, s_safe32)
-        uh = jnp.where(s32 > 0, uh2, uh)
-        ul = jnp.where(s32 > 0, ul2, ul)
+        uh, ul = df_add(uh, ul, e32)
         return uh, ul, noconv, du_of(du_e), k, hist
 
     def _solve_df_core(

@@ -65,6 +65,7 @@ from .stencils import BCS
 __all__ = [
     "df_decompose",
     "df_reconstruct",
+    "df_add",
     "df_add_scaled",
     "df_residual_3d",
     "df_residual_supported",
@@ -127,6 +128,12 @@ def df_add_scaled(uh, ul, e32, s):
     """
     p = (s * e32).astype(jnp.float32)
     t, te = _two_sum(uh, p)
+    return _quick_renorm(t, te + ul)
+
+
+def df_add(uh, ul, e32):
+    """Pair update u <- u + e32 (exact TwoSum + renormalize)."""
+    t, te = _two_sum(uh, e32)
     return _quick_renorm(t, te + ul)
 
 
@@ -196,12 +203,15 @@ def _df_kernel(
     w_pairs, w_splits, zero_rhs: bool, bcs: BCS,
 ):
     if zero_rhs:
-        (uh_hbm, ul_hbm, out_ref, bufUH, bufUL, bufO, in_sems, out_sems) = refs
+        (
+            uh_hbm, ul_hbm, out_ref, max_ref,
+            bufUH, bufUL, bufO, bufM, in_sems, out_sems,
+        ) = refs
         bufRH = bufRL = None
     else:
         (
-            uh_hbm, ul_hbm, rh_hbm, rl_hbm, out_ref,
-            bufUH, bufUL, bufRH, bufRL, bufO, in_sems, out_sems,
+            uh_hbm, ul_hbm, rh_hbm, rl_hbm, out_ref, max_ref,
+            bufUH, bufUL, bufRH, bufRL, bufO, bufM, in_sems, out_sems,
         ) = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
@@ -238,6 +248,9 @@ def _df_kernel(
         dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
         return [
             pltpu.make_async_copy(bufO.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
+            pltpu.make_async_copy(
+                bufM.at[slot], max_ref.at[ii, jj], out_sems.at[slot, i32(1)]
+            ),
         ]
 
     slot = lax.rem(step, i32(2))
@@ -363,6 +376,18 @@ def _df_kernel(
 
     bufO[slot] = r32
 
+    # ---- window max of |r| over the REAL tile (halo rows excluded),
+    # broadcast into an (8, 128)-aligned output tile; the engine reduces
+    # the (gz, gy, 8, 128) grid output — a few KB — instead of paying a
+    # full-array XLA |r| pass.
+    oz = i * i32(tz) - sz
+    oy = jnp.int32(pl.multiple_of(j * i32(ty), 8)) - sy
+    real = (
+        (az >= oz) & (az < oz + i32(tz)) & (ly >= oy) & (ly < oy + i32(ty))
+    )
+    m = jnp.max(jnp.where(real, jnp.abs(r32), jnp.float32(0.0)))
+    bufM[slot] = jnp.zeros((8, 128), jnp.float32) + m
+
     for d in out_dmas(slot, i, j):
         d.start()
 
@@ -389,9 +414,11 @@ def df_residual_3d(
 ):
     """Build the double-float defect-residual callable, or None if the
     shape is unsupported.  Returns call(u_hi, u_lo[, rhs_hi, rhs_lo]) ->
-    r32 with r32 ~= f32(rhs - L(u)) evaluated at f32-pair precision
-    (semantics of ops/stencils.poisson_residual on the f64-reconstructed
-    inputs; max deviation ~1e-13 of the stencil-term scale)."""
+    (r32, max_tiles) with r32 ~= f32(rhs - L(u)) evaluated at f32-pair
+    precision (semantics of ops/stencils.poisson_residual on the
+    f64-reconstructed inputs; max deviation ~1e-13 of the stencil-term
+    scale) and max_tiles a (gz, gy, 8, 128) array whose jnp.max equals
+    max|r32| (per-window maxima, broadcast into aligned tiles)."""
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
     if not df_residual_supported(shape, dtype, interpret=interpret):
@@ -423,15 +450,19 @@ def df_residual_3d(
     grid = (nz // tz, ny // ty)
     n_in = 2 if zero_rhs else 4
     scratch = [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * (n_in + 1) + [
+        pltpu.VMEM((2, 8, 128), jnp.float32),
         pltpu.SemaphoreType.DMA((2, n_in)),
-        pltpu.SemaphoreType.DMA((2, 1)),
+        pltpu.SemaphoreType.DMA((2, 2)),
     ]
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32),
+        ],
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=int(190 * nz * ny * nx),

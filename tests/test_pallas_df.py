@@ -55,7 +55,10 @@ def test_df_residual_matches_f64_oracle(bcs):
     rh, rl = dfm.df_decompose(jnp.asarray(rhs))
     call = dfm.df_residual_3d(bcs, dq, (n, n, n), interpret=True)
     assert call is not None
-    r_df = np.asarray(call(uh, ul, rh, rl), dtype=np.float64)
+    r_df32, mx = call(uh, ul, rh, rl)
+    r_df = np.asarray(r_df32, dtype=np.float64)
+    # the in-window max output reduces to the true max|r|
+    assert float(jnp.max(mx)) == float(np.abs(r_df32).max())
 
     r64 = np.asarray(
         stencils.poisson_residual(
@@ -86,9 +89,10 @@ def test_df_residual_zero_rhs_variant():
     z = jnp.zeros((n, n, n), jnp.float32)
     full = dfm.df_residual_3d(bcs, dq, (n, n, n), interpret=True)
     zero = dfm.df_residual_3d(bcs, dq, (n, n, n), zero_rhs=True, interpret=True)
-    r_full = np.asarray(full(uh, ul, z, z))
-    r_zero = np.asarray(zero(uh, ul))
-    np.testing.assert_array_equal(r_full, r_zero)
+    r_full, m_full = full(uh, ul, z, z)
+    r_zero, m_zero = zero(uh, ul)
+    np.testing.assert_array_equal(np.asarray(r_full), np.asarray(r_zero))
+    assert float(jnp.max(m_full)) == float(jnp.max(m_zero))
 
 
 def test_df_add_scaled_pair_update():
