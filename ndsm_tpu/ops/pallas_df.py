@@ -70,6 +70,10 @@ __all__ = [
     "df_residual_3d",
     "df_residual_supported",
     "pick_tiles_df",
+    "df_residual_sharded_3d",
+    "df_sharded_supported",
+    "df_sharded_halos",
+    "pick_tiles_df_sharded",
 ]
 
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -197,6 +201,86 @@ def _clamp_shifts(v, axis: int):
     return lo, hi
 
 
+def _df_stencil_channels(uh, ul, face_masks, w_pairs, w_splits):
+    """Compensated Laplacian of the pair over a VMEM window: returns
+    (Lh, Le, Ll) — L(u_hi) as an (hi, err) pair plus the plain-f32
+    L(u_lo) (error budget in the module docstring).  ``face_masks(ax)``
+    returns (at_lo, at_hi) bool masks selecting the Neumann
+    index-reflection difference swap, or (None, None) when the axis'
+    window already carries true neighbor planes (halo-extended sharded
+    blocks, where the engine pre-fills mirror planes at global faces)."""
+    Lh = None
+    Le = None
+    Ll = jnp.zeros_like(uh)
+    for ax in range(3):
+        wf, wl = w_pairs[ax]
+        wh_h, wh_l = w_splits[ax]
+        at_lo, at_hi = face_masks(ax)
+
+        nlo, nhi = _clamp_shifts(uh, ax)
+        d1, e1 = _two_diff(nlo, uh)
+        d2, e2 = _two_diff(nhi, uh)
+        # Neumann index reflection: at the global lower face the lower
+        # neighbor is u[1] (== the upper difference); symmetric at the
+        # upper face.  Swap from the pre-substitution values.
+        if at_lo is not None:
+            d1n = jnp.where(at_lo, d2, d1)
+            e1n = jnp.where(at_lo, e2, e1)
+        else:
+            d1n, e1n = d1, e1
+        if at_hi is not None:
+            d2n = jnp.where(at_hi, d1, d2)
+            e2n = jnp.where(at_hi, e1, e2)
+        else:
+            d2n, e2n = d2, e2
+
+        t, te = _two_sum(d1n, d2n)
+        sm = te + (e1n + e2n)
+
+        # Dekker TwoProd of t against the pair-split weight hi part,
+        # plus the (plain-magnitude) correction terms.
+        p = t * jnp.float32(wf)
+        th_c = jnp.float32(_SPLIT) * t
+        t_big = th_c - t
+        t_h = th_c - t_big
+        t_l = t - t_h
+        perr = (
+            (jnp.float32(wh_h) * t_h - p)
+            + jnp.float32(wh_h) * t_l
+            + jnp.float32(wh_l) * t_h
+        ) + jnp.float32(wh_l) * t_l
+        perr = perr + (jnp.float32(wf) * sm + jnp.float32(wl) * t)
+
+        if Lh is None:
+            Lh, Le = p, perr
+        else:
+            Lh, c = _two_sum(Lh, p)
+            Le = Le + (c + perr)
+
+        # ---- lo channel: plain stencil on u_lo (error budget in the
+        # module docstring: already at the pair representation floor).
+        nlo_l, nhi_l = _clamp_shifts(ul, ax)
+        dl1 = nlo_l - ul
+        dl2 = nhi_l - ul
+        dl1n = jnp.where(at_lo, dl2, dl1) if at_lo is not None else dl1
+        dl2n = jnp.where(at_hi, dl1, dl2) if at_hi is not None else dl2
+        Ll = Ll + (dl1n + dl2n) * jnp.float32(wf)
+    return Lh, Le, Ll
+
+
+def _df_combine(Lh, Le, Ll, rh, rl):
+    """r = (rhs_hi + rhs_lo) - (Lh + Le + Ll) to pair accuracy;
+    rh is None for the zero-rhs variant."""
+    if rh is None:
+        rm, rme = _two_diff(jnp.float32(0.0) - Lh, Ll)  # -(Lh) - Ll, exact pair
+        smalls = rme - Le
+    else:
+        rm, rme = _two_diff(rh, Lh)
+        rm, c2 = _two_diff(rm, Ll)
+        smalls = rme + c2 + (rl - Le)
+    return rm + smalls
+
+
 def _df_kernel(
     *refs,
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
@@ -295,69 +379,11 @@ def _df_kernel(
     uh = bufUH[slot]
     ul = bufUL[slot]
 
-    # ---- hi channel: compensated stencil L(u_hi) as a (Lh, Le) pair.
-    Lh = None
-    Le = None
-    Ll = jnp.zeros_like(uh)  # lo channel, plain f32
-    for ax in range(3):
-        wf, wl = w_pairs[ax]
-        wh_h, wh_l = w_splits[ax]
-        at_lo, at_hi = face_masks(ax)
-
-        nlo, nhi = _clamp_shifts(uh, ax)
-        d1, e1 = _two_diff(nlo, uh)
-        d2, e2 = _two_diff(nhi, uh)
-        # Neumann index reflection: at the global lower face the lower
-        # neighbor is u[1] (== the upper difference); symmetric at the
-        # upper face.  Swap from the pre-substitution values.
-        d1n = jnp.where(at_lo, d2, d1)
-        e1n = jnp.where(at_lo, e2, e1)
-        d2n = jnp.where(at_hi, d1, d2)
-        e2n = jnp.where(at_hi, e1, e2)
-
-        t, te = _two_sum(d1n, d2n)
-        sm = te + (e1n + e2n)
-
-        # Dekker TwoProd of t against the pair-split weight hi part,
-        # plus the (plain-magnitude) correction terms.
-        p = t * jnp.float32(wf)
-        th_c = jnp.float32(_SPLIT) * t
-        t_big = th_c - t
-        t_h = th_c - t_big
-        t_l = t - t_h
-        perr = (
-            (jnp.float32(wh_h) * t_h - p)
-            + jnp.float32(wh_h) * t_l
-            + jnp.float32(wh_l) * t_h
-        ) + jnp.float32(wh_l) * t_l
-        perr = perr + (jnp.float32(wf) * sm + jnp.float32(wl) * t)
-
-        if Lh is None:
-            Lh, Le = p, perr
-        else:
-            Lh, c = _two_sum(Lh, p)
-            Le = Le + (c + perr)
-
-        # ---- lo channel: plain stencil on u_lo (error budget in the
-        # module docstring: already at the pair representation floor).
-        nlo_l, nhi_l = _clamp_shifts(ul, ax)
-        dl1 = nlo_l - ul
-        dl2 = nhi_l - ul
-        dl1n = jnp.where(at_lo, dl2, dl1)
-        dl2n = jnp.where(at_hi, dl1, dl2)
-        Ll = Ll + (dl1n + dl2n) * jnp.float32(wf)
-
-    # ---- combine: r = (rhs_hi + rhs_lo) - (Lh + Le + Ll)
+    Lh, Le, Ll = _df_stencil_channels(uh, ul, face_masks, w_pairs, w_splits)
     if zero_rhs:
-        rm, rme = _two_diff(jnp.float32(0.0) - Lh, Ll)  # -(Lh) - Ll, exact pair
-        smalls = rme - Le
+        r32 = _df_combine(Lh, Le, Ll, None, None)
     else:
-        rh = bufRH[slot]
-        rl = bufRL[slot]
-        rm, rme = _two_diff(rh, Lh)
-        rm, c2 = _two_diff(rm, Ll)
-        smalls = rme + c2 + (rl - Le)
-    r32 = rm + smalls
+        r32 = _df_combine(Lh, Le, Ll, bufRH[slot], bufRL[slot])
 
     # ---- Dirichlet-face points: residual is zero (static bcs).
     interior = None
@@ -462,6 +488,337 @@ def df_residual_3d(
         out_shape=[
             jax.ShapeDtypeStruct(shape, jnp.float32),
             jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=int(190 * nz * ny * nx),
+            bytes_accessed=int((n_in + 1) * 4 * nz * ny * nx),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+
+# ----------------------------------------------------------------------
+# Sharded (per-shard) variant — the defect for the shard_map engine.
+#
+# The shard's local pair block arrives HALO-EXTENDED by the engine
+# (ShardStencilKernels._extend_block): 1 plane per side in z, and an
+# 8-aligned halo in y when y is partitioned too — neighbor planes via
+# ppermute, node-mirror planes at true global faces.  The mirror IS the
+# Neumann index reflection, so extended axes need no in-kernel face
+# logic at all; non-extended axes span the full global extent in every
+# shard and keep the static face swaps.  Dirichlet-face zeroing on a
+# partitioned axis is shard-position-dependent: it rides a streamed
+# mask-code array C (2.0 == Dirichlet-face point, the pallas_zc sharded
+# convention), keeping one compiled program valid for every shard
+# position (SPMD-uniform).  C is loop-invariant, so the engine builds
+# and extends it ONCE per solve.
+# ----------------------------------------------------------------------
+
+
+def df_sharded_halos(parts) -> dict:
+    """Halo depth per partitioned array axis for the sharded df
+    residual: 1 plane in z; the y halo is rounded to the 8-sublane DMA
+    alignment (only 1 of the 8 planes is read)."""
+    H = {0: 1}
+    if 1 in tuple(parts):
+        H[1] = 8
+    return H
+
+
+def _df_with_c(bcs: BCS, parts) -> bool:
+    """The C mask stream is needed iff a PARTITIONED axis has a
+    Dirichlet face (position-dependent zeroing); when present it also
+    takes over the non-partitioned axes' Dirichlet zeroing."""
+    return any("D" in bcs[ax] for ax in tuple(parts))
+
+
+def pick_tiles_df_sharded(
+    local_shape, n_in: int, y_ext: bool
+) -> Optional[Tuple[int, int, int, int]]:
+    """(tz, ty, W_z, W_y) over the REAL local block; windows read the
+    halo-extended arrays.  Budget: n_in + 1 double-buffered dense
+    streams plus ~12 units of compensated-stencil temporaries (the
+    measured Mosaic scoped stack of the single-device kernel)."""
+    nz, ny, nx = local_shape
+    best, best_frac = None, 0.0
+    for tz in range(1, min(nz, 256) + 1):
+        if nz % tz:
+            continue
+        for ty in range(8, min(ny, 256) + 1, 8):
+            if ny % ty:
+                continue
+            wz = tz + 2
+            wy = ty + 16 if y_ext else min(ny, ty + 16)
+            if (2 * (n_in + 1) + 12) * wz * wy * nx * 4 > _VMEM_BUDGET:
+                continue
+            frac = (tz * ty) / (wz * wy)
+            if frac > best_frac:
+                best_frac, best = frac, (tz, ty, wz, wy)
+    return best
+
+
+def df_sharded_supported(
+    local_shape, bcs: BCS, parts, dtype, interpret: bool = False
+) -> bool:
+    if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    parts = tuple(parts)
+    if not parts or any(ax not in (0, 1) for ax in parts):
+        return False
+    nz, ny, nx = local_shape
+    if not interpret and nx % 128 != 0:
+        return False
+    if not interpret and ny % 8 != 0:
+        return False
+    if nx < 3:
+        return False  # x face swap assumes distinct faces
+    if 1 not in parts and ny < 3:
+        return False  # y face swap likewise (y unextended)
+    for ax, H in df_sharded_halos(parts).items():
+        if local_shape[ax] < H + 1:
+            return False  # engine mirror fill needs H+1 real planes
+    # worst case stream count: rhs pair + C mask
+    n_in = 4 + (1 if _df_with_c(tuple(tuple(b) for b in bcs), parts) else 0)
+    return pick_tiles_df_sharded(tuple(local_shape), n_in, 1 in parts) is not None
+
+
+def _df_sharded_kernel(
+    *refs,
+    nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
+    y_ext: bool, w_pairs, w_splits, zero_rhs: bool, with_c: bool, bcs: BCS,
+):
+    n_in = (2 if zero_rhs else 4) + (1 if with_c else 0)
+    ins, rest = refs[:n_in], refs[n_in:]
+    out_ref, max_ref = rest[0], rest[1]
+    bufs = rest[2 : 2 + n_in + 1]
+    bufM, in_sems, out_sems = rest[2 + n_in + 1], rest[-2], rest[-1]
+    bufUH, bufUL = bufs[0], bufs[1]
+    if zero_rhs:
+        bufRH = bufRL = None
+        bufC = bufs[2] if with_c else None
+    else:
+        bufRH, bufRL = bufs[2], bufs[3]
+        bufC = bufs[4] if with_c else None
+    bufO = bufs[n_in]
+
+    i = jnp.int32(pl.program_id(0))
+    j = jnp.int32(pl.program_id(1))
+    gy = jnp.int32(pl.num_programs(1))
+    step = i * gy + j
+    total = jnp.int32(pl.num_programs(0)) * gy
+    i32 = jnp.int32
+
+    def _clip(v, lo, hi):
+        return jnp.minimum(jnp.maximum(v, i32(lo)), i32(hi))
+
+    def window_starts(ii, jj):
+        # Extended coordinates: the real block sits at offset (1, 8*y_ext).
+        sz = ii * i32(tz)
+        if y_ext:
+            sy = jj * i32(ty)
+        else:
+            sy = _clip(jj * i32(ty) - i32(8), 0, ny - W_y)
+        return sz, pl.multiple_of(sy, 8)
+
+    def fetch(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        win = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+        return [
+            pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
+            for k, (src, buf) in enumerate(zip(ins, bufs))
+        ]
+
+    def out_dmas(slot, ii, jj):
+        sz, sy = window_starts(ii, jj)
+        z0 = ii * i32(tz)
+        y0 = pl.multiple_of(jj * i32(ty), 8)
+        oy = pl.multiple_of((y0 + (i32(8) if y_ext else i32(0))) - sy, 8)
+        src = (slot, pl.ds(i32(1), tz), pl.ds(oy, ty), slice(None))
+        dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
+        return [
+            pltpu.make_async_copy(bufO.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
+            pltpu.make_async_copy(
+                bufM.at[slot], max_ref.at[ii, jj], out_sems.at[slot, i32(1)]
+            ),
+        ]
+
+    slot = lax.rem(step, i32(2))
+
+    @pl.when(step == i32(0))
+    def _():
+        for d in fetch(i32(0), i, j):
+            d.start()
+
+    @pl.when(step + i32(1) < total)
+    def _():
+        nstep = step + i32(1)
+        ni, nj = nstep // gy, lax.rem(nstep, gy)
+
+        @pl.when(step >= i32(1))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+        for d in fetch(lax.rem(nstep, i32(2)), ni, nj):
+            d.start()
+
+    for d in fetch(slot, i, j):
+        d.wait()
+
+    sz, sy = window_starts(i, j)
+    az = lax.broadcasted_iota(jnp.int32, (W_z, 1, 1), 0)
+    ly = lax.broadcasted_iota(jnp.int32, (1, W_y, 1), 1)
+    kx = lax.broadcasted_iota(jnp.int32, (1, 1, nx), 2)
+    gyy = ly + sy  # local == global y when y is unextended
+
+    def face_masks(ax):
+        if ax == 0:
+            return None, None  # halo-extended: true neighbors in-window
+        if ax == 1:
+            if y_ext:
+                return None, None
+            return gyy == i32(0), gyy == i32(ny - 1)
+        return kx == i32(0), kx == i32(nx - 1)
+
+    Lh, Le, Ll = _df_stencil_channels(
+        bufUH[slot], bufUL[slot], face_masks, w_pairs, w_splits
+    )
+    if zero_rhs:
+        r32 = _df_combine(Lh, Le, Ll, None, None)
+    else:
+        r32 = _df_combine(Lh, Le, Ll, bufRH[slot], bufRL[slot])
+
+    # ---- Dirichlet-face zeroing: streamed mask code when a partitioned
+    # axis has Dirichlet faces (C == 2.0 there, all axes covered);
+    # static masks otherwise (partitioned axes then all-Neumann).
+    if with_c:
+        r32 = jnp.where(bufC[slot] == jnp.float32(2.0), jnp.float32(0.0), r32)
+    else:
+        interior = None
+
+        def _and(m, c):
+            return c if m is None else jnp.logical_and(m, c)
+
+        for ax in (1, 2):
+            at_lo, at_hi = face_masks(ax)
+            if at_lo is not None and bcs[ax][0] == "D":
+                interior = _and(interior, ~at_lo)
+            if at_hi is not None and bcs[ax][1] == "D":
+                interior = _and(interior, ~at_hi)
+        if interior is not None:
+            r32 = jnp.where(interior, r32, jnp.float32(0.0))
+
+    bufO[slot] = r32
+
+    # ---- window max of |r| over the REAL tile (halo rows excluded).
+    oz = i32(1)
+    oy = jnp.int32(
+        pl.multiple_of((j * i32(ty) + (i32(8) if y_ext else i32(0))) - sy, 8)
+    )
+    real = (
+        (az >= oz) & (az < oz + i32(tz)) & (ly >= oy) & (ly < oy + i32(ty))
+    )
+    m = jnp.max(jnp.where(real, jnp.abs(r32), jnp.float32(0.0)))
+    bufM[slot] = jnp.zeros((8, 128), jnp.float32) + m
+
+    for d in out_dmas(slot, i, j):
+        d.start()
+
+    @pl.when(step == total - i32(1))
+    def _():
+        for d in out_dmas(slot, i, j):
+            d.wait()
+
+        @pl.when(total >= i32(2))
+        def _():
+            pstep = step - i32(1)
+            pi, pj = pstep // gy, lax.rem(pstep, gy)
+            for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
+                d.wait()
+
+
+def df_residual_sharded_3d(
+    bcs: BCS,
+    dq,
+    local_shape,
+    parts,
+    zero_rhs: bool = False,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    vma=None,
+):
+    """Per-shard double-float defect residual for the shard_map engine,
+    or None if unsupported.
+
+    ``parts`` lists the partitioned array axes ((0,) or (0, 1)); the
+    call takes HALO-EXTENDED pair blocks (df_sharded_halos gives the
+    per-axis depths; the engine fills neighbor planes via ppermute and
+    node-mirror planes at global chain ends) and returns (r32,
+    max_tiles) over the REAL local block, exactly like df_residual_3d.
+    Argument order: (uh_ext, ul_ext[, rh_ext, rl_ext][, C_ext]) — the C
+    mask-code stream is present iff a partitioned axis has a Dirichlet
+    face (see _df_with_c).  ``vma`` declares the mesh axes the outputs
+    vary over (shard_map's vma type system)."""
+    bcs = tuple(tuple(b) for b in bcs)
+    parts = tuple(parts)
+    local_shape = tuple(int(s) for s in local_shape)
+    if not df_sharded_supported(local_shape, bcs, parts, dtype, interpret=interpret):
+        return None
+    nz, ny, nx = local_shape
+    y_ext = 1 in parts
+    with_c = _df_with_c(bcs, parts)
+    n_in = (2 if zero_rhs else 4) + (1 if with_c else 0)
+    tiles = pick_tiles_df_sharded(local_shape, n_in, y_ext)
+    if tiles is None:
+        return None
+    tz, ty, W_z, W_y = tiles
+
+    dq = np.asarray(dq, dtype=np.float64)
+    w64 = 1.0 / (dq * dq)
+    w_hi = w64.astype(np.float32)
+    w_lo = (w64 - w_hi.astype(np.float64)).astype(np.float32)
+    w_pairs = tuple((float(h), float(l)) for h, l in zip(w_hi, w_lo))
+
+    def _vsplit(a: float):
+        c = np.float32(_SPLIT) * np.float32(a)
+        big = np.float32(c - np.float32(a))
+        h = np.float32(c - big)
+        return float(h), float(np.float32(a) - h)
+
+    w_splits = tuple(_vsplit(h) for h, _ in w_pairs)
+
+    kernel = functools.partial(
+        _df_sharded_kernel,
+        nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
+        y_ext=y_ext, w_pairs=w_pairs, w_splits=w_splits,
+        zero_rhs=zero_rhs, with_c=with_c, bcs=bcs,
+    )
+    grid = (nz // tz, ny // ty)
+
+    def _shaped(shape):
+        return (
+            jax.ShapeDtypeStruct(shape, jnp.float32)
+            if vma is None
+            else jax.ShapeDtypeStruct(shape, jnp.float32, vma=frozenset(vma))
+        )
+
+    scratch = [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * (n_in + 1) + [
+        pltpu.VMEM((2, 8, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, n_in)),
+        pltpu.SemaphoreType.DMA((2, 2)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[
+            _shaped(local_shape),
+            _shaped((grid[0], grid[1], 8, 128)),
         ],
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(

@@ -487,6 +487,54 @@ class ShardedPoissonBVP(ShardStencilKernels):
             self._coarse_S = S
             self._coarse_rows = np.flatnonzero(int_mask)
 
+        # Double-float defect mode (mixed precision): the outer iterate
+        # lives as an f32 pair per shard and the defect runs in the
+        # per-shard compensated Pallas kernel (ops/pallas_df.py sharded
+        # variant) instead of emulated-f64 XLA — same eligibility and
+        # semantics as PoissonBVP's df path (mg/poisson.py:147-187).
+        self._df = False
+        self._df_res = self._df_res_zero = None
+        md = getattr(options, "mixed_defect", "auto")
+        if md not in ("auto", "f64", "df32"):
+            raise ValueError(f"unknown mixed_defect {md!r}")
+        if (
+            self.mode == "mixed"
+            and md != "f64"
+            and hierarchy.ndim == 3
+            and not stencils.is_all_neumann(self.bcs)
+        ):
+            from ..mg.engine import _pallas_min_points
+            from ..ops import pallas_df
+
+            interp = self.use_pallas == "interpret"
+            want = (
+                self.use_pallas in ("on", "interpret")
+                if md == "auto"
+                else self.use_pallas != "off"
+            )
+            parts_ax = tuple(ax for ax, _ in self.parts)
+            local = self._local_shape(0)
+            self._df_H_map = pallas_df.df_sharded_halos(parts_ax)
+            if (
+                want
+                and int(np.prod(hierarchy.fine_shape)) >= _pallas_min_points()
+                and pallas_df.df_sharded_supported(
+                    local, self.bcs, parts_ax, jnp.float32, interpret=interp
+                )
+            ):
+                vma = {nm for _, nm in self.parts}
+                self._df_res = pallas_df.df_residual_sharded_3d(
+                    self.bcs, hierarchy.dq[0], local, parts_ax,
+                    zero_rhs=False, interpret=interp, vma=vma,
+                )
+                self._df_res_zero = pallas_df.df_residual_sharded_3d(
+                    self.bcs, hierarchy.dq[0], local, parts_ax,
+                    zero_rhs=True, interpret=interp, vma=vma,
+                )
+                self._df = self._df_res is not None
+                self._df_with_c = pallas_df._df_with_c(self.bcs, parts_ax)
+        self.df_defect = self._df
+
         self._dq = [np.asarray(d, dtype=np.float64) for d in hierarchy.dq]
         partsvec: List[Optional[str]] = [None] * hierarchy.ndim
         for ax, nm in self.parts:
@@ -797,11 +845,119 @@ class ShardedPoissonBVP(ShardStencilKernels):
             u_new = u_new - mean
         return u_new, noconv, du_of(du_e), k
 
+    def _mixed_group_df(
+        self, uh, ul, rhsp_ext, C_ext, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+    ):
+        """``_mixed_group`` with the shard's outer state as an (hi, lo)
+        f32 pair and the defect from the per-shard double-float Pallas
+        kernel over halo-extended blocks — ONE deep exchange per defect,
+        ~2^-48 outer precision, inner V-cycles on the UNSCALED defect
+        with the eps32 coarse floor scaled by the global max|r| (from
+        the kernel's in-window max tiles; see PoissonBVP._mixed_group_df).
+        ``rhsp_ext`` / ``C_ext`` are loop-invariant extended blocks the
+        caller builds once per solve."""
+        from ..ops.pallas_df import df_add
+
+        H_map = self._df_H_map
+        args = [
+            self._extend_block(uh, 0, H_map),
+            self._extend_block(ul, 0, H_map),
+        ]
+        if rhsp_ext is not None:
+            args += [rhsp_ext[0], rhsp_ext[1]]
+            call = self._df_res
+        else:
+            call = self._df_res_zero
+        if C_ext is not None:
+            args.append(C_ext)
+        r32, mx = call(*args)
+        s = lax.pmax(jnp.max(mx), self.names)
+        eps32 = 32.0 * float(np.finfo(np.float32).eps)
+        ex_tol_eff = jnp.maximum(ex_tol, (eps32 * s).astype(ex_tol.dtype))
+        e0 = self._vary(jnp.zeros(r32.shape, dtype=jnp.float32))
+        big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
+
+        def du_of(du_e):
+            return du_e.astype(self.dtype)
+
+        def cond(c):
+            _, du_e, k, _ = c
+            first = k == 0
+            more = jnp.logical_and(
+                du_of(du_e) >= vc_tol,
+                jnp.logical_and(it + k < nmax, k < inner_max),
+            )
+            return jnp.logical_or(first, more)
+
+        def body(c):
+            e, du_e, k, nc = c
+            e_new, noconv = self._vcycle(e, r32, ex_tol_eff, nmax_exact)
+            du_new = self._metric(e_new, e, 0)
+            return (e_new, du_new, k + 1, nc | noconv)
+
+        init = (e0, big32, jnp.int32(0), self._vary(jnp.asarray(False)))
+        if inner_max == 1:
+            e32, du_e, k, noconv = body(init)
+        else:
+            e32, du_e, k, noconv = lax.while_loop(cond, body, init)
+        uh, ul = df_add(uh, ul, e32)
+        return uh, ul, noconv, du_of(du_e), k
+
+    def _local_solve_df(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+        """``_local_solve`` in double-float defect mode: the iterate is
+        carried as an f32 pair per shard; ``rhs`` may be None (zero-rhs
+        kernel variant).  The rhs pair and the Dirichlet mask code are
+        extended once here (loop-invariant)."""
+        from ..ops.pallas_df import df_decompose, df_reconstruct
+
+        H_map = self._df_H_map
+        vc_tol = vc_tol.astype(self.dtype)
+        big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
+        inner_max = max(1, int(getattr(self.options, "mixed_inner_max", 6)))
+        uh0, ul0 = df_decompose(u0.astype(self.dtype))
+        if rhs is None:
+            rhsp_ext = None
+        else:
+            rh, rl = df_decompose(rhs.astype(self.dtype))
+            rhsp_ext = (
+                self._extend_block(rh, 0, H_map),
+                self._extend_block(rl, 0, H_map),
+            )
+        C_ext = None
+        if self._df_with_c:
+            C_ext = self._extend_block(
+                self._zc_mask_code(self._local_shape(0), 0), 0, H_map
+            )
+
+        def cond(c):
+            _, _, du, it, _ = c
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def body(c):
+            uh, ul, _, it, flag = c
+            uh, ul, noconv, du, ncyc = self._mixed_group_df(
+                uh, ul, rhsp_ext, C_ext, ex_tol, nmax_exact,
+                vc_tol, it, nmax, inner_max,
+            )
+            return (uh, ul, du, it + ncyc, flag | noconv)
+
+        init = (uh0, ul0, big, jnp.int32(0), self._vary(jnp.asarray(False)))
+        uh, ul, du, it, flag = lax.while_loop(cond, body, init)
+        u = df_reconstruct(uh, ul, self.dtype)
+        ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(
+            jnp.int32
+        )
+        return u, du, it, ierr, self._pall_any(flag)
+
     def _local_solve_zero_rhs(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
+        if self._df:
+            return self._local_solve_df(u0, None, vc_tol, ex_tol, nmax, nmax_exact)
         rhs = self._vary(jnp.zeros(u0.shape, dtype=u0.dtype))
         return self._local_solve(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact)
 
     def _local_solve(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+        if self._df:
+            return self._local_solve_df(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact)
         vc_tol = vc_tol.astype(self.dtype)
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
         mixed = self.mode == "mixed"

@@ -177,6 +177,95 @@ def test_df_gates_off_all_neumann_and_2d(monkeypatch):
     assert not PoissonBVP(h2, (("D", "D"), ("N", "N")), opts).df_defect
 
 
+@pytest.mark.parametrize(
+    "axes,bcs",
+    [
+        (1, (("D", "D"), ("N", "N"), ("D", "D"))),  # partitioned-z Dirichlet -> C stream
+        (1, (("N", "N"), ("D", "D"), ("N", "D"))),  # z all-Neumann -> static masks
+        (2, (("D", "N"), ("N", "D"), ("D", "D"))),  # 2-axis mesh, y halo-extended
+    ],
+)
+def test_sharded_df_defect_interpret(monkeypatch, axes, bcs):
+    """ShardedPoissonBVP with the per-shard double-float defect kernel
+    (interpret mode on the virtual CPU mesh) matches the sharded
+    f64-defect path: pair halo exchange + mirror faces + (when a
+    partitioned axis has Dirichlet faces) the streamed mask code
+    reproduce the f64 outer iteration at pair precision."""
+    from ndsm_tpu.parallel.shard import make_mesh, make_mesh_nd
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=3)
+    rng = np.random.default_rng(9)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    if axes == 1:
+        mesh, names = make_mesh(4), ("z",)
+    else:
+        mesh, names = make_mesh_nd((2, 2), ("z", "y")), ("z", "y")
+    opts = Options(
+        precision="mixed", vc_tol=1e-10, ncycles_max=64, ms=3,
+        mixed_defect="df32",
+    )
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    sp = ShardedPoissonBVP(
+        h, bcs, opts, mesh=mesh, axis_names=names, min_rows_per_shard=2
+    )
+    assert sp.df_defect
+    u_df, info_df = sp.solve(u0, rhs)
+
+    monkeypatch.delenv("NDSM_TPU_PALLAS")
+    monkeypatch.delenv("NDSM_TPU_PALLAS_MIN_POINTS")
+    opts64 = Options(
+        precision="mixed", vc_tol=1e-10, ncycles_max=64, ms=3,
+        mixed_defect="f64",
+    )
+    sx = ShardedPoissonBVP(
+        h, bcs, opts64, mesh=mesh, axis_names=names, min_rows_per_shard=2
+    )
+    assert not sx.df_defect
+    u_64, info_64 = sx.solve(u0, rhs)
+    assert info_df.ierr == 0 and info_64.ierr == 0
+    assert abs(info_df.cycles - info_64.cycles) <= 2
+    np.testing.assert_allclose(
+        np.asarray(u_df), np.asarray(u_64), rtol=0, atol=5e-10
+    )
+
+
+def test_sharded_df_zero_rhs_variant(monkeypatch):
+    """The sharded zero-rhs df program (in-kernel rhs == 0) gives the
+    same solve as uploading an explicit zero rhs, with nonzero Dirichlet
+    data carried in u0 (the component-solve usage)."""
+    from ndsm_tpu.parallel.shard import make_mesh
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 24
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=3)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(4)
+    u0 = np.zeros((n, n, n))
+    u0[0] = rng.standard_normal((n, n))
+    u0[-1] = rng.standard_normal((n, n))
+    u0[:, :, 0] = rng.standard_normal((n, n))
+    u0[:, :, -1] = rng.standard_normal((n, n))
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    opts = Options(precision="mixed", vc_tol=1e-10, mixed_defect="df32")
+    sp = ShardedPoissonBVP(
+        h, bcs, opts, mesh=make_mesh(4), min_rows_per_shard=2
+    )
+    assert sp.df_defect
+    u_z, info_z = sp.solve(u0, None, zero_rhs=True)
+    u_e, info_e = sp.solve(u0, np.zeros_like(u0))
+    assert info_z.ierr == 0
+    assert info_z.cycles == info_e.cycles
+    np.testing.assert_array_equal(np.asarray(u_z), np.asarray(u_e))
+
+
 def test_batched_df32_matches_sequential(monkeypatch):
     """MultiBCSolver in df32 mode: per-lane cycles/solutions equal the
     standalone df32 PoissonBVP solves (lane freezing preserved), and
