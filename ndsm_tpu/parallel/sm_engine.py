@@ -539,8 +539,14 @@ class ShardedPoissonBVP(ShardStencilKernels):
         partsvec: List[Optional[str]] = [None] * hierarchy.ndim
         for ax, nm in self.parts:
             partsvec[ax] = nm
+        self._partsvec = tuple(partsvec)
         spec = P(*partsvec)
         self.sharding = NamedSharding(mesh, spec)
+        # Lane-batched variant: lane axis in front, replicated; built
+        # lazily by solve_batch.
+        self.sharding_batch = NamedSharding(mesh, P(None, *partsvec))
+        self._solve_batch_jit = None
+        self._solve_batch_jit_donate = None
         solve_sm = shard_map(
             self._local_solve,
             mesh=mesh,
@@ -986,6 +992,140 @@ class ShardedPoissonBVP(ShardStencilKernels):
             jnp.int32
         )
         return u, du, it, ierr, self._pall_any(flag)
+
+    def _local_solve_batch(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
+        """Lane-masked batched variant of ``_local_solve`` — the sharded
+        analogue of PoissonBVP._solve_batch_impl: B same-configuration
+        problems with the lane axis in front of the shard axes, each
+        lane's iterate/metric sequence identical to a standalone sharded
+        solve (converged lanes freeze).  Mixed groups vmap the f64
+        defect path (the per-shard df kernel is not vmapped — chi-style
+        batches are 2D/all-Neumann where df never applies)."""
+        mixed = self.mode == "mixed"
+        inner_max = (
+            max(1, int(getattr(self.options, "mixed_inner_max", 6)))
+            if mixed
+            else 1
+        )
+        vc_tol = vc_tol.astype(self.dtype)
+        B = u0.shape[0]
+        big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
+        if mixed:
+            groupB = jax.vmap(
+                lambda u, r, it: self._mixed_group(
+                    u, r, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+                )
+            )
+        else:
+            cycleB = jax.vmap(lambda u, r: self._vcycle(u, r, ex_tol, nmax_exact))
+            metricB = jax.vmap(lambda a, b: self._metric(a, b, 0))
+
+        def active_of(du, it):
+            return jnp.logical_and(it < nmax, du >= vc_tol)
+
+        def cond(c):
+            _, du, it, _ = c
+            return jnp.any(active_of(du, it))
+
+        def body(c):
+            u, du, it, flag = c
+            active = active_of(du, it)
+            if mixed:
+                u_new, noconv, du_new, ncyc = groupB(u, rhs, it)
+            else:
+                u_new, noconv = cycleB(u, rhs)
+                du_new = metricB(u_new, u)
+                ncyc = jnp.ones((B,), jnp.int32)
+            sel = active.reshape((B,) + (1,) * (u.ndim - 1))
+            u = jnp.where(sel, u_new, u)
+            du = jnp.where(active, du_new, du)
+            it = it + jnp.where(active, ncyc, 0)
+            return (u, du, it, flag | (noconv & active))
+
+        init = (
+            u0,
+            jnp.full((B,), big),
+            jnp.zeros((B,), jnp.int32),
+            self._vary(jnp.zeros((B,), bool)),
+        )
+        u, du, it, flag = lax.while_loop(cond, body, init)
+        ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(
+            jnp.int32
+        )
+        return u, du, it, ierr, self._pall_any(flag)
+
+    def solve_batch(
+        self,
+        u0s,
+        rhss,
+        *,
+        names: Optional[Sequence[str]] = None,
+        donate: bool = False,
+    ):
+        """Solve B same-configuration problems in ONE sharded program
+        (lane axis replicated, shard axes partitioned) — amortizes
+        dispatch and halo-collective latency over the lanes (the
+        distributed chi-face solves of the vector-potential pipeline).
+        Falls back to sequential ``solve`` when the coarse solver is the
+        reference relax loop (its while_loop cannot be lane-masked)."""
+        import time as _time
+
+        names = list(names) if names is not None else [""] * len(u0s)
+        if not self.coarse_direct:
+            out = [
+                self.solve(u0, r, name=nm, donate=donate)
+                for u0, r, nm in zip(u0s, rhss, names)
+            ]
+            return [u for u, _ in out], [i for _, i in out]
+
+        from .multihost import put_global
+
+        o = self.options
+        conv = (
+            (lambda a: jnp.asarray(a, self.dtype))
+            if jax.process_count() == 1
+            else (lambda a: np.asarray(a, self.dtype))
+        )
+        stack = jnp if jax.process_count() == 1 else np
+        u0 = put_global(stack.stack([conv(a) for a in u0s]), self.sharding_batch)
+        rhs = put_global(stack.stack([conv(a) for a in rhss]), self.sharding_batch)
+        if self._solve_batch_jit is None:
+            spec_b = P(None, *self._partsvec)
+            sm = shard_map(
+                self._local_solve_batch,
+                mesh=self.mesh,
+                in_specs=(spec_b, spec_b, P(), P(), P(), P()),
+                out_specs=(spec_b, P(), P(), P(), P()),
+            )
+            self._solve_batch_jit = jax.jit(sm)
+            self._solve_batch_jit_donate = jax.jit(sm, donate_argnums=(0, 1))
+        scalars = (
+            jnp.asarray(o.vc_tol, jnp.float64),
+            jnp.asarray(o.ex_tol, jnp.float64),
+            jnp.int32(o.ncycles_max),
+            jnp.int32(o.niterex_max),
+        )
+        fn = self._solve_batch_jit_donate if donate else self._solve_batch_jit
+        t0 = _time.perf_counter()
+        u, du, it, ierr, flag = fn(u0, rhs, *scalars)
+        du, it, ierr, flag = jax.device_get((du, it, ierr, flag))
+        wall = _time.perf_counter() - t0
+        infos = [
+            SolveInfo(
+                ierr=int(ierr[k]),
+                du_last=float(du[k]),
+                cycles=int(it[k]),
+                name=names[k],
+                wall_time=wall,
+                coarse_noconv=bool(flag[k]),
+                batch_size=len(u0s),
+            )
+            for k in range(len(u0s))
+        ]
+        from ..mg.poisson import PoissonBVP
+
+        PoissonBVP._post_warnings(infos)
+        return list(u), infos
 
     def solve(
         self,

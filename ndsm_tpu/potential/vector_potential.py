@@ -201,11 +201,15 @@ def compute_vector_potential(
             else None
         )
         if sbvp is not None:
-            us, infos = [], []
-            for u0, r, f in zip(u0s, rhss, faces_in_group):
-                u, info = sbvp.solve(u0, r, donate=True, name=f"chi_face{f}")
-                us.append(u)
-                infos.append(info)
+            # One lane-stacked sharded program per group (ppermute halo
+            # volume and dispatch amortized over the faces), mirroring
+            # the single-device batched path below.
+            us, infos = sbvp.solve_batch(
+                u0s,
+                rhss,
+                donate=True,
+                names=[f"chi_face{f}" for f in faces_in_group],
+            )
             for k, f in enumerate(faces_in_group):
                 chi[f] = us[k]
                 chi_info[f] = infos[k]
