@@ -364,6 +364,55 @@ class MultiBCSolver:
         self._pallas_fns[key] = fn
         return fn
 
+    def _zc_cor_fns(self, level: int, n: int):
+        """Per-lane correction-fused z-compact smoothers, or None."""
+        from .engine import _pallas_min_points
+
+        key = ("zc_cor", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.inner_dtype == jnp.float32
+            and self.h.ndim == 3
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_zc
+
+            fns = tuple(
+                pallas_zc.zc_smooth_cor_3d(
+                    bcs,
+                    self._dq[level],
+                    self.h.shapes[level],
+                    n,
+                    interpret=(self.use_pallas == "interpret"),
+                )
+                for bcs in self.bcs_list
+            )
+            if all(f is not None for f in fns):
+                fn = fns
+        self._pallas_fns[key] = fn
+        return fn
+
+    def _smooth_cor(self, u, cor, rhs, level, n):
+        """n post-smooth sweeps per lane on (u + cor), the add fused
+        into the first kernel pass when available (bitwise-identical to
+        _smooth(u + cor, ...) — see MGEngine.t_smooth_cor)."""
+        if n >= 1 and u.dtype == jnp.float32:
+            from .engine import _pallas_nsweeps
+
+            ns_star = min(n, _pallas_nsweeps())
+            fns = self._zc_cor_fns(level, ns_star)
+            if fns is not None:
+                u = jnp.stack(
+                    [fns[b](u[b], cor[b], rhs[b]) for b in range(self.B)]
+                )
+                if n - ns_star:
+                    u = self._smooth(u, rhs, level, n - ns_star)
+                return u
+        return self._smooth(u + cor, rhs, level, n)
+
     def _smooth_residual(self, u, rhs, level, n):
         """n sweeps + residual per lane, residual fused into the final
         pass when the kernels support it.  Returns (u, r)."""
@@ -493,7 +542,7 @@ class MultiBCSolver:
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
             cor = _apply_axis_matrices_b(uc, self._interp[l])
-            us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
+            us[l] = self._smooth_cor(us[l], cor, rhss[l], l, ms)
         return us[0], noconv
 
     def _metric(self, a, b):

@@ -225,6 +225,44 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
+    def _pallas_zc_cor_fn(self, level: int, n: int):
+        """Correction-fused z-compact smoother: (u, cor, rhs) -> n sweeps
+        on (u + cor) in one HBM pass (ops/pallas_zc.py), or None."""
+        key = ("zc_cor", level, n)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level):
+            from ..ops import pallas_zc
+
+            fn = pallas_zc.zc_smooth_cor_3d(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                n,
+                interpret=(self.use_pallas == "interpret"),
+            )
+        self._pallas_fns[key] = fn
+        return fn
+
+    def t_smooth_cor(self, u, cor, rhs, level: int):
+        """ms post-smooth sweeps on (u + cor) — the V-cycle ascent's
+        correct-then-relax (reference: ndsm_multigrid_core.f90:659-682).
+        The correction add is fused into the first smoothing pass when
+        the kernel supports it (the standalone XLA add costs a full
+        array pass at ~10% of HBM bandwidth on this chip); results are
+        bitwise-identical to t_smooth(u + cor, ...)."""
+        n = self.ms
+        if n >= 1:
+            ns_star = min(n, _pallas_nsweeps())
+            fc = self._pallas_zc_cor_fn(level, ns_star)
+            if fc is not None:
+                u = fc(u, cor, rhs)
+                if n - ns_star:
+                    u = self.t_smooth(u, rhs, level, nsweeps=n - ns_star)
+                return u
+        return self.t_smooth(u + cor, rhs, level)
+
     def t_smooth_residual(self, u, rhs, level: int):
         """ms pre-smooth sweeps + residual, fusing the residual into the
         final smoothing pass when the kernel supports it (the reference
@@ -472,11 +510,12 @@ class MGEngine:
                 us[L - 1], rhss[L - 1], L - 1, ex_tol, nmax_exact
             )
 
-        # Ascend (coarse_to_fine, :593-684)
+        # Ascend (coarse_to_fine, :593-684); correction add fused into
+        # the first post-smooth pass where the kernel supports it.
         for l in range(L - 2, -1, -1):
             uc = self.t_smooth(us[l + 1], rhss[l + 1], l + 1)
             cor = self.t_prolong(uc, l)
-            us[l] = self.t_smooth(us[l] + cor, rhss[l], l)
+            us[l] = self.t_smooth_cor(us[l], cor, rhss[l], l)
 
         return us[0], noconv
 
@@ -489,7 +528,7 @@ class MGEngine:
         u_c, noconv = self.t_solve_exact(u_c, rhs_c, 1, ex_tol, nmax_exact)
         u_c = self.t_smooth(u_c, rhs_c, 1)
         cor = self.t_prolong(u_c, 0)
-        return self.t_smooth(ul + cor, rhs, 0), noconv
+        return self.t_smooth_cor(ul, cor, rhs, 0), noconv
 
     def t_one_grid(self, u, rhs, ex_tol, nmax_exact):
         """Single-grid relax-to-convergence (reference: one_grid,

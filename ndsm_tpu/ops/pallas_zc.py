@@ -68,6 +68,7 @@ from .stencils import BCS, first_color_parity, is_all_neumann
 
 __all__ = [
     "zc_smooth_3d",
+    "zc_smooth_cor_3d",
     "zc_smooth_residual_3d",
     "zc_smooth_sharded_3d",
     "zc_kernel_supported",
@@ -91,7 +92,8 @@ def _halos(nsweeps: int, residual: bool = False) -> Tuple[int, int]:
 
 
 def pick_tiles_zc(
-    shape: Tuple[int, int, int], nsweeps: int, residual: bool = False
+    shape: Tuple[int, int, int], nsweeps: int, residual: bool = False,
+    with_cor: bool = False,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y): tile divisors of (nz, ny) and window extents
     maximizing the useful fraction under the VMEM budget.  tz even
@@ -113,8 +115,9 @@ def pick_tiles_zc(
             # 2 dense double-buffered windows + 4 half work arrays; the
             # residual variant additionally keeps the res halves and the
             # interleave temporaries live (measured ~3 more dense units
-            # of Mosaic scoped stack at 256^3).
-            units = 9 if residual else 6
+            # of Mosaic scoped stack at 256^3); the correction stream
+            # adds one more double-buffered window.
+            units = (9 if residual else 6) + (2 if with_cor else 0)
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -125,7 +128,7 @@ def pick_tiles_zc(
 
 def zc_kernel_supported(
     shape, bcs: BCS, dtype, nsweeps: int, interpret: bool = False,
-    residual: bool = False,
+    residual: bool = False, with_cor: bool = False,
 ) -> bool:
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
@@ -140,7 +143,7 @@ def zc_kernel_supported(
         return False  # lane-aligned dense DMA rows
     if not interpret and ny % 8 != 0:
         return False  # sublane-aligned window clamps
-    return pick_tiles_zc(tuple(shape), nsweeps, residual) is not None
+    return pick_tiles_zc(tuple(shape), nsweeps, residual, with_cor) is not None
 
 
 def _shift_edge(v, axis: int):
@@ -174,13 +177,25 @@ def _zc_kernel(
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     H_z: int, H_y: int,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
-    bcs: BCS, residual: bool = False,
+    bcs: BCS, residual: bool = False, with_cor: bool = False,
 ):
+    cor_hbm = None
+    if with_cor:
+        cor_hbm, refs = refs[0], refs[1:]
     if residual:
-        out_ref, res_ref, bufU, bufR, wR, wB, wrR, wrB, in_sems, out_sems = refs
+        out_ref, res_ref = refs[0], refs[1]
+        refs = refs[2:]
     else:
-        out_ref, bufU, bufR, wR, wB, wrR, wrB, in_sems, out_sems = refs
+        out_ref, refs = refs[0], refs[1:]
         res_ref = None
+    if with_cor:
+        bufU, bufR, bufC = refs[0], refs[1], refs[2]
+        refs = refs[3:]
+    else:
+        bufU, bufR = refs[0], refs[1]
+        bufC = None
+        refs = refs[2:]
+    wR, wB, wrR, wrB, in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
     gy = jnp.int32(pl.num_programs(1))
@@ -200,9 +215,12 @@ def _zc_kernel(
     def fetch(slot, ii, jj):
         sz, sy = window_starts(ii, jj)
         win = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+        streams = ((u_hbm, bufU), (rhs_hbm, bufR))
+        if with_cor:
+            streams = streams + ((cor_hbm, bufC),)
         return [
             pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
-            for k, (src, buf) in enumerate(((u_hbm, bufU), (rhs_hbm, bufR)))
+            for k, (src, buf) in enumerate(streams)
         ]
 
     def out_dmas(slot, ii, jj):
@@ -293,13 +311,16 @@ def _zc_kernel(
 
     # ---- deinterleave (leading-axis reshape + parity select; no lane
     # crossing).  R holds the first color (z-offset t), B the second.
-    def split(ref):
-        v = ref[slot].reshape(W_zc, 2, W_y, nx)
+    # The with_cor variant adds the prolongated correction in VMEM first
+    # (same f32 add the XLA path does before smoothing — bitwise equal).
+    def split(v):
+        v = v.reshape(W_zc, 2, W_y, nx)
         E, O = v[:, 0], v[:, 1]
         return jnp.where(t1, O, E), jnp.where(t1, E, O)
 
-    R0, B0 = split(bufU)
-    rR, rB = split(bufR)
+    u_win = bufU[slot] + bufC[slot] if with_cor else bufU[slot]
+    R0, B0 = split(u_win)
+    rR, rB = split(bufR[slot])
     wR[...] = R0
     wB[...] = B0
     wrR[...] = rR
@@ -383,15 +404,18 @@ def _zc_kernel(
                 d.wait()
 
 
-def _build(bcs, dq, shape, nsweeps, dtype, interpret, residual):
+def _build(bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False):
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
+    if residual and with_cor:
+        raise ValueError("residual and with_cor variants are exclusive")
     if not zc_kernel_supported(
-        shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual
+        shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual,
+        with_cor=with_cor,
     ):
         return None
     nz, ny, nx = shape
-    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual)
+    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual, with_cor)
     # Mimic ops.stencils.stencil_weights EXACTLY (w cast to f32, w0 from
     # the f32 sum) so kernel sweeps are bitwise-equal to rb_sweep.
     dq = np.asarray(dq, dtype=np.float64)
@@ -406,30 +430,31 @@ def _build(bcs, dq, shape, nsweeps, dtype, interpret, residual):
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=p0, bcs=bcs, residual=residual,
+        with_cor=with_cor,
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
+    n_in = 3 if with_cor else 2
     n_out = 2 if residual else 1
     out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * n_out
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
-            pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * n_in
+        + [
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, n_in)),
             pltpu.SemaphoreType.DMA((2, n_out)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int((nsweeps + (1 if residual else 0)) * 11 * nz * ny * nx),
-            bytes_accessed=int((3 + n_out - 1) * 4 * nz * ny * nx),
+            bytes_accessed=int((n_in + n_out) * 4 * nz * ny * nx),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -454,6 +479,31 @@ def zc_smooth_3d(
 
     def apply(u, rhs):
         return call(u, rhs)[0]
+
+    return apply
+
+
+def zc_smooth_cor_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    nsweeps: int,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Correction-fused smoother: call(u, cor, rhs) -> u' equal to
+    ``nsweeps`` sweeps on (u + cor) — the V-cycle ascent's
+    prolongate-add + post-smooth without the separate XLA add pass
+    (~1.1 ms per 256^3 f32 array on this chip; reference pairing:
+    coarse_to_fine's correct-then-relax, ndsm_multigrid_core.f90:659-682).
+    The add happens on the fetched VMEM windows in the same f32
+    arithmetic, so results are bitwise-equal to the unfused path."""
+    call = _build(bcs, dq, shape, nsweeps, dtype, interpret, False, with_cor=True)
+    if call is None:
+        return None
+
+    def apply(u, cor, rhs):
+        return call(u, rhs, cor)[0]
 
     return apply
 

