@@ -135,6 +135,124 @@ class MGEngine:
                 [restrict_matrix_1d(c, f) for f, c in zip(fine, coarse)]
             )
 
+        # ---- Padded kernel levels ------------------------------------
+        # Levels whose REAL shape is not kernel-aligned (nx % 128,
+        # ny % 8) but whose y/x-padded shape is run on aligned padded
+        # storage: the zc kernels apply boundary reflection/freezing at
+        # the REAL faces (real_shape arg) and the pad region stays
+        # identically zero through the V-cycle (frozen by the kernels,
+        # zeroed by the zero-padded transfer blocks).  This brings the
+        # Pallas smoother to unaligned sizes like the reference's
+        # 220^3 headline (fortran/ndsm_optimized.f90:40-191), where the
+        # XLA fallback runs at ~10% of HBM bandwidth.  z is never
+        # padded (the z-compact parity argument needs the even extent).
+        self._work_shapes: List[tuple] = [tuple(s) for s in hierarchy.shapes]
+        self._padded: List[bool] = [False] * hierarchy.ngrids
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.dtype == jnp.float32
+            and hierarchy.ndim == 3
+            and not stencils.is_all_neumann(self.bcs)
+        ):
+            self._plan_padding()
+        if any(self._padded):
+            self._interp_mats_w = [
+                [
+                    self._pad_mat(
+                        M, self._work_shapes[l][ax], self._work_shapes[l + 1][ax]
+                    )
+                    for ax, M in enumerate(self._interp_mats[l])
+                ]
+                for l in range(hierarchy.ngrids - 1)
+            ]
+            self._restrict_mats_w = [
+                [
+                    self._pad_mat(
+                        M, self._work_shapes[l + 1][ax], self._work_shapes[l][ax]
+                    )
+                    for ax, M in enumerate(self._restrict_mats[l])
+                ]
+                for l in range(hierarchy.ngrids - 1)
+            ]
+        else:
+            self._interp_mats_w = self._interp_mats
+            self._restrict_mats_w = self._restrict_mats
+
+    # ------------------------------------------------------------------
+    # Padded-level plumbing
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _pad_mat(M: np.ndarray, rows: int, cols: int) -> np.ndarray:
+        """Embed a transfer matrix in a zero (rows, cols) block: real
+        rows read only real columns; pad rows produce zeros — which is
+        what keeps the pad region of every level identically zero."""
+        if M.shape == (rows, cols):
+            return M
+        out = np.zeros((rows, cols), dtype=M.dtype)
+        out[: M.shape[0], : M.shape[1]] = M
+        return out
+
+    def _plan_padding(self) -> None:
+        """Adopt a padded work shape for every kernel-eligible level
+        whose real shape is unaligned, PROVIDED every kernel variant
+        and pass width the engine composes from is supported there
+        (there is no XLA fallback on padded storage — the masked sweep
+        would reflect at the pad edge instead of the real face)."""
+        from ..ops import pallas_zc
+
+        if self.ms < 1:
+            return  # smooth-free cycles never touch the kernels
+        interp = self.use_pallas == "interpret"
+        widths = range(1, max(1, min(self.ms, _pallas_nsweeps())) + 1)
+        for l in range(self.h.ngrids - 1):
+            shape = self.h.shapes[l]
+            if int(np.prod(shape)) < _pallas_min_points():
+                continue
+            nz, ny, nx = shape
+            if ny % 8 == 0 and nx % 128 == 0:
+                continue  # aligned: plain kernels fire without padding
+            if nz % 2 or min(ny, nx) < 3:
+                continue
+            pshape = (nz, -(-ny // 8) * 8, -(-nx // 128) * 128)
+            if pshape == tuple(shape):
+                continue
+            ok = True
+            for n in widths:
+                for builder in (
+                    pallas_zc.zc_smooth_3d,
+                    pallas_zc.zc_smooth_cor_3d,
+                    pallas_zc.zc_smooth_residual_3d,
+                ):
+                    if (
+                        builder(
+                            self.bcs, self._dq[l], pshape, n,
+                            interpret=interp, real_shape=shape,
+                        )
+                        is None
+                    ):
+                        ok = False
+                        break
+                if not ok:
+                    break
+            if ok:
+                self._work_shapes[l] = pshape
+                self._padded[l] = True
+
+    def t_pad0(self, x):
+        """Real -> work shape at the finest level (zero padding)."""
+        w0, r0 = self._work_shapes[0], tuple(self.h.shapes[0])
+        if not self._padded[0] or tuple(x.shape) == w0:
+            return x
+        return jnp.pad(x, [(0, w - r) for w, r in zip(w0, r0)])
+
+    def t_unpad0(self, x):
+        """Work -> real shape at the finest level (slice)."""
+        r0 = tuple(self.h.shapes[0])
+        if tuple(x.shape) == r0:
+            return x
+        return x[tuple(slice(0, r) for r in r0)]
+
     # ------------------------------------------------------------------
     # Level primitives
     # ------------------------------------------------------------------
@@ -182,12 +300,22 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
+    def _zc_build_args(self, level: int):
+        """(shape, real_shape) for the zc builders: the level's work
+        shape, plus the real extents when it is padded."""
+        return (
+            self._work_shapes[level],
+            self.h.shapes[level] if self._padded[level] else None,
+        )
+
     def _pallas_zc_fn(self, level: int, n: int):
         """z-compact Pallas smoother (ops/pallas_zc.py) for (level, n
         sweeps), or None.  The production TPU path: dense HBM interface
         (no XLA split/merge passes — those run at ~10% of bandwidth on
         this chip), one stencil evaluation per point-sweep in VMEM;
-        measured 94% of the HBM roofline at 256^3 ns=2."""
+        measured 94% of the HBM roofline at 256^3 ns=2.  On padded
+        levels the kernel is built for the work shape with real-face
+        boundaries."""
         key = ("zc", level, n)
         if key in self._pallas_fns:
             return self._pallas_fns[key]
@@ -195,12 +323,14 @@ class MGEngine:
         if self._pallas_eligible(level):
             from ..ops import pallas_zc
 
+            shape, rs = self._zc_build_args(level)
             fn = pallas_zc.zc_smooth_3d(
                 self.bcs,
                 self._dq[level],
-                self.h.shapes[level],
+                shape,
                 n,
                 interpret=(self.use_pallas == "interpret"),
+                real_shape=rs,
             )
         self._pallas_fns[key] = fn
         return fn
@@ -215,12 +345,14 @@ class MGEngine:
         if self._pallas_eligible(level):
             from ..ops import pallas_zc
 
+            shape, rs = self._zc_build_args(level)
             fn = pallas_zc.zc_smooth_residual_3d(
                 self.bcs,
                 self._dq[level],
-                self.h.shapes[level],
+                shape,
                 n,
                 interpret=(self.use_pallas == "interpret"),
+                real_shape=rs,
             )
         self._pallas_fns[key] = fn
         return fn
@@ -235,12 +367,14 @@ class MGEngine:
         if self._pallas_eligible(level):
             from ..ops import pallas_zc
 
+            shape, rs = self._zc_build_args(level)
             fn = pallas_zc.zc_smooth_cor_3d(
                 self.bcs,
                 self._dq[level],
-                self.h.shapes[level],
+                shape,
                 n,
                 interpret=(self.use_pallas == "interpret"),
+                real_shape=rs,
             )
         self._pallas_fns[key] = fn
         return fn
@@ -253,7 +387,7 @@ class MGEngine:
         array pass at ~10% of HBM bandwidth on this chip); results are
         bitwise-identical to t_smooth(u + cor, ...)."""
         n = self.ms
-        if n >= 1:
+        if n >= 1 and self._on_work_storage(u, level):
             ns_star = min(n, _pallas_nsweeps())
             fc = self._pallas_zc_cor_fn(level, ns_star)
             if fc is not None:
@@ -269,7 +403,7 @@ class MGEngine:
         pairs relax+residual the same way, ndsm_multigrid_core.f90:482-560).
         Returns (u_smoothed, residual)."""
         n = self.ms
-        if n >= 1:
+        if n >= 1 and self._on_work_storage(u, level):
             ns_star = min(n, _pallas_nsweeps())
             rem = n % ns_star
             last = rem if rem else ns_star
@@ -304,10 +438,19 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
+    def _on_work_storage(self, x, level: int) -> bool:
+        """True when ``x`` lives in the level's kernel storage.  On a
+        padded level, REAL-shaped arrays (the reduced drivers, direct
+        t_* callers) take the XLA paths — valid real-face math — while
+        work-shaped arrays MUST use the real-face kernels."""
+        return not self._padded[level] or tuple(x.shape) == self._work_shapes[level]
+
     def t_smooth(self, u, rhs, level: int, nsweeps: int | None = None):
         n = self.ms if nsweeps is None else nsweeps
         if n == 0:
             return u
+        if not self._on_work_storage(u, level):
+            return self._t_smooth_xla(u, rhs, level, n)
         # Fused Pallas smoothing: compose n sweeps from passes of the
         # measured-optimal fused width (plus one remainder pass).  The
         # mask-code array is built ONCE per smooth call (a traced XLA
@@ -334,6 +477,13 @@ class MGEngine:
                         0, rem, lambda _, v: self.t_sweep(v, rhs, level), u
                     )
             return u
+        if self._padded[level]:
+            # _plan_padding guarantees every composed width; an XLA
+            # fallback here would reflect at the pad edge (wrong BCs).
+            raise RuntimeError(
+                f"padded level {level}: zc kernel unavailable for width "
+                f"{ns_star} — padding plan violated"
+            )
         pc = self._pallas_compact_fn(level, ns_star)
         if pc is not None:
             return self._t_smooth_pallas_compact(u, rhs, level, n, ns_star, pc)
@@ -356,6 +506,9 @@ class MGEngine:
                         0, rem, lambda _, v: self.t_sweep(v, rhs, level), u
                     )
             return u
+        return self._t_smooth_xla(u, rhs, level, n)
+
+    def _t_smooth_xla(self, u, rhs, level: int, n: int):
         if self.compact_smoother and stencils_compact.compact_supported(
             u.shape, self.bcs
         ):
@@ -420,24 +573,45 @@ class MGEngine:
         return stencils_compact.merge_colors(R, B, nx)
 
     def t_residual(self, u, rhs, level: int):
+        if not self._on_work_storage(u, level):
+            pass  # real-shaped on a padded level: valid XLA math
+        elif self._padded[level]:
+            raise RuntimeError(
+                f"padded level {level}: XLA residual on work storage "
+                "would reflect at the pad edge — the residual-fused "
+                "kernel must cover it (padding plan violated)"
+            )
         return self._constrain(
             stencils.poisson_residual(u, rhs, self._dq[level], self.bcs), level
         )
 
     def t_restrict(self, r, level: int):
-        """Restrict fine-level ``r`` at ``level`` to level+1."""
+        """Restrict fine-level ``r`` at ``level`` to level+1 (work
+        shapes: zero-padded matrix blocks keep pad regions zero)."""
         return self._constrain(
-            apply_axis_matrices(r, self._restrict_mats[level]), level + 1
+            apply_axis_matrices(r, self._restrict_mats_w[level]), level + 1
         )
 
     def t_prolong(self, u_c, level: int):
         """Prolong coarse ``u_c`` at ``level+1`` to ``level``."""
         return self._constrain(
-            apply_axis_matrices(u_c, self._interp_mats[level]), level
+            apply_axis_matrices(u_c, self._interp_mats_w[level]), level
         )
 
     def t_metric(self, u_new, u_old):
         dmax, dmean = du_metrics(u_new, u_old)
+        if (
+            not self.du_max
+            and self._padded[0]
+            and tuple(u_new.shape) == self._work_shapes[0]
+        ):
+            # mean over the REAL point count: pad entries are exactly
+            # zero (kernel-frozen, zero-padded transfers), so only the
+            # divisor needs correcting.
+            scale = float(np.prod(self._work_shapes[0])) / float(
+                np.prod(self.h.shapes[0])
+            )
+            dmean = dmean * jnp.asarray(scale, dmean.dtype)
         return dmax if self.du_max else dmean
 
     # ------------------------------------------------------------------
@@ -487,7 +661,16 @@ class MGEngine:
 
     def t_vcycle(self, u, rhs, ex_tol, nmax_exact):
         """One V-cycle on the finest level (reference: v_cycle,
-        ndsm_multigrid_core.f90:341-377).  Returns ``(u, coarse_noconv)``."""
+        ndsm_multigrid_core.f90:341-377).  Returns ``(u, coarse_noconv)``.
+
+        When the finest level is PADDED, work-shaped inputs pass
+        straight through (the defect-correction drivers keep their
+        iterate padded across the whole group loop — zero per-cycle
+        conversion cost); real-shaped inputs are padded on entry and
+        sliced on exit (compat path for direct callers)."""
+        if self._padded[0] and tuple(u.shape) == tuple(self.h.shapes[0]):
+            up, noconv = self.t_vcycle(self.t_pad0(u), self.t_pad0(rhs), ex_tol, nmax_exact)
+            return self.t_unpad0(up), noconv
         L = self.h.ngrids
         us = [None] * L
         rhss = [None] * L
@@ -499,7 +682,7 @@ class MGEngine:
             ul, r = self.t_smooth_residual(us[l], rhss[l], l)
             rhss[l + 1] = self.t_restrict(r, l)
             us[l] = ul
-            us[l + 1] = jnp.zeros(self.h.shapes[l + 1], dtype=self.dtype)
+            us[l + 1] = jnp.zeros(self._work_shapes[l + 1], dtype=self.dtype)
 
         # Coarsest-grid solve (:370)
         if self.coarse_direct and L > 1:

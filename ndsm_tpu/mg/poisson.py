@@ -248,9 +248,13 @@ class PoissonBVP:
         s = jnp.max(jnp.abs(r0))
         s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
         r32 = (r0 / s_safe).astype(self.inner_dtype)
+        # Padded inner engine (unaligned sizes): the correction iterate
+        # and scaled defect live on the kernel's work shape across the
+        # WHOLE group loop — one pad here, one slice at the end.
+        r32 = eng32.t_pad0(r32)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
-        e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
+        e0 = jnp.zeros(eng32._work_shapes[0], dtype=self.inner_dtype)
         big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
 
         def du_of(du_e):
@@ -286,6 +290,7 @@ class PoissonBVP:
         else:
             init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
             e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
+        e32 = eng32.t_unpad0(e32)
         e = e32.astype(self.outer_dtype) * s_safe
         e = jnp.where(s > 0, e, jnp.zeros_like(e))
         u_new = u + e
@@ -315,9 +320,10 @@ class PoissonBVP:
         else:
             r32, mx = self._df_res(uh, ul, rhsp[0], rhsp[1])
         s = jnp.max(mx).astype(self.outer_dtype)
+        r32 = eng32.t_pad0(r32)  # identity unless the inner engine pads
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32 * s)
-        e0 = jnp.zeros(self.h.shapes[0], dtype=self.inner_dtype)
+        e0 = jnp.zeros(eng32._work_shapes[0], dtype=self.inner_dtype)
         big32 = jnp.asarray(jnp.finfo(np.float32).max, dtype=jnp.float32)
 
         def du_of(du_e):
@@ -347,7 +353,7 @@ class PoissonBVP:
         else:
             init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
             e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
-        uh, ul = df_add(uh, ul, e32)
+        uh, ul = df_add(uh, ul, eng32.t_unpad0(e32))
         return uh, ul, noconv, du_of(du_e), k, hist
 
     def _solve_df_core(

@@ -128,8 +128,14 @@ def pick_tiles_zc(
 
 def zc_kernel_supported(
     shape, bcs: BCS, dtype, nsweeps: int, interpret: bool = False,
-    residual: bool = False, with_cor: bool = False,
+    residual: bool = False, with_cor: bool = False, real_shape=None,
 ) -> bool:
+    """``real_shape``: for PADDED operation, the real problem extents
+    (nz, ny_real, nx_real) with ny_real <= ny, nx_real <= nx — the
+    kernel applies the boundary reflection/freezing at the REAL y/x
+    upper faces and freezes the pad region, letting aligned padded
+    storage serve unaligned problems (z is never padded: the z-compact
+    parity argument needs the true even extent)."""
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     if is_all_neumann(bcs):
@@ -137,6 +143,10 @@ def zc_kernel_supported(
     if nsweeps < 1 or nsweeps > 8:
         return False
     nz, ny, nx = shape
+    if real_shape is not None:
+        rz, ry, rx = real_shape
+        if rz != nz or not (3 <= ry <= ny) or not (3 <= rx <= nx):
+            return False
     if nz % 2:
         return False  # even nz: clamp == reflection at both z faces
     if not interpret and nx % 128 != 0:
@@ -178,7 +188,16 @@ def _zc_kernel(
     H_z: int, H_y: int,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
     bcs: BCS, residual: bool = False, with_cor: bool = False,
+    ny_real: int | None = None, nx_real: int | None = None,
 ):
+    # Padded operation: real problem extents < padded array extents.
+    # The y/x upper boundary reflection and Dirichlet freezing move to
+    # the REAL faces and the pad region is frozen (never read by real
+    # points: the real top row's out-of-range neighbor is substituted).
+    ny_real = ny if ny_real is None else ny_real
+    nx_real = nx if nx_real is None else nx_real
+    pad_y = ny_real < ny
+    pad_x = nx_real < nx
     cor_hbm = None
     if with_cor:
         cor_hbm, refs = refs[0], refs[1:]
@@ -281,23 +300,29 @@ def _zc_kernel(
 
     def face_mask(own_is_first: bool):
         """Update mask for one color: False on frozen Dirichlet-face
-        points.  z-face membership depends on the column offset
-        o = t (first color) / 1-t (second): i==0 needs o==0; i==nz-1
-        (odd, nz even) needs o==1."""
+        points (at the REAL y/x faces) and on pad points.  z-face
+        membership depends on the column offset o = t (first color) /
+        1-t (second): i==0 needs o==0; i==nz-1 (odd, nz even) needs
+        o==1."""
         m = None
 
         def _and(m, c):
             return c if m is None else jnp.logical_and(m, c)
 
         o1 = t1 if own_is_first else ~t1  # o == 1 mask
+        gyy = ly + sy
+        if pad_x:
+            m = _and(m, kk < i32(nx_real))
+        if pad_y:
+            m = _and(m, gyy < i32(ny_real))
         if bcs[2][0] == "D":
             m = _and(m, kk != i32(0))
         if bcs[2][1] == "D":
-            m = _and(m, kk != i32(nx - 1))
+            m = _and(m, kk != i32(nx_real - 1))
         if bcs[1][0] == "D":
-            m = _and(m, ~jnp.logical_and(sy == i32(0), ly == i32(0)))
+            m = _and(m, gyy != i32(0))
         if bcs[1][1] == "D":
-            m = _and(m, ~jnp.logical_and(sy == i32(ny - W_y), ly == i32(W_y - 1)))
+            m = _and(m, gyy != i32(ny_real - 1))
         if bcs[0][0] == "D":
             at0 = jnp.logical_and(sz == i32(0), az == i32(0))
             m = _and(m, ~jnp.logical_and(at0, ~o1))
@@ -326,6 +351,17 @@ def _zc_kernel(
     wrR[...] = rR
     wrB[...] = rB
 
+    def real_face_fix(opp, y_lo, y_hi, x_lo, x_hi):
+        """Padded operation: the real y/x top rows' out-of-range upper
+        neighbor is the index reflection — i.e. the LOWER neighbor
+        (hi[K] := opp[K-1] == lo[K]); identical to _shift_edge's array-
+        edge substitution, applied at the real face instead."""
+        if pad_y:
+            y_hi = jnp.where((ly + sy) == i32(ny_real - 1), y_lo, y_hi)
+        if pad_x:
+            x_hi = jnp.where(kk == i32(nx_real - 1), x_lo, x_hi)
+        return y_lo, y_hi, x_lo, x_hi
+
     def half(own, opp, rhs_own, mask, own_is_first: bool):
         # z neighbors: clamp-shift + offset-parity select (see module
         # docstring derivation); o1 == "own column offset is 1".
@@ -336,6 +372,7 @@ def _zc_kernel(
         z_up = jnp.where(o1, up, opp)
         y_lo, y_hi = _shift_edge(opp, 1)
         x_lo, x_hi = _shift_edge(opp, 2)
+        y_lo, y_hi, x_lo, x_hi = real_face_fix(opp, y_lo, y_hi, x_lo, x_hi)
         s = (
             (z_dn + z_up) * jnp.float32(w[0])
             + (y_lo + y_hi) * jnp.float32(w[1])
@@ -371,6 +408,7 @@ def _zc_kernel(
             z_up = jnp.where(o1, up, opp)
             y_lo, y_hi = _shift_edge(opp, 1)
             x_lo, x_hi = _shift_edge(opp, 2)
+            y_lo, y_hi, x_lo, x_hi = real_face_fix(opp, y_lo, y_hi, x_lo, x_hi)
             lap = (
                 (z_dn - two * own + z_up) * jnp.float32(w[0])
                 + (y_lo - two * own + y_hi) * jnp.float32(w[1])
@@ -404,14 +442,21 @@ def _zc_kernel(
                 d.wait()
 
 
-def _build(bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False):
+def _build(
+    bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False,
+    real_shape=None,
+):
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
+    if real_shape is not None:
+        real_shape = tuple(int(s) for s in real_shape)
+        if real_shape == shape:
+            real_shape = None
     if residual and with_cor:
         raise ValueError("residual and with_cor variants are exclusive")
     if not zc_kernel_supported(
         shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual,
-        with_cor=with_cor,
+        with_cor=with_cor, real_shape=real_shape,
     ):
         return None
     nz, ny, nx = shape
@@ -431,6 +476,8 @@ def _build(bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False):
         H_z=H_z, H_y=H_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=p0, bcs=bcs, residual=residual,
         with_cor=with_cor,
+        ny_real=None if real_shape is None else real_shape[1],
+        nx_real=None if real_shape is None else real_shape[2],
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
@@ -468,12 +515,16 @@ def zc_smooth_3d(
     nsweeps: int,
     dtype=jnp.float32,
     interpret: bool = False,
+    real_shape=None,
 ):
     """Build the z-compact smoother callable for one configuration, or
     None if unsupported.  Returns call(u, rhs) -> u applying ``nsweeps``
     red-black sweeps, equal to ``nsweeps`` applications of
     stencils.rb_sweep (to 1 ulp; bitwise on the TPU toolchain)."""
-    call = _build(bcs, dq, shape, nsweeps, dtype, interpret, False)
+    call = _build(
+        bcs, dq, shape, nsweeps, dtype, interpret, False,
+        real_shape=real_shape,
+    )
     if call is None:
         return None
 
@@ -490,6 +541,7 @@ def zc_smooth_cor_3d(
     nsweeps: int,
     dtype=jnp.float32,
     interpret: bool = False,
+    real_shape=None,
 ):
     """Correction-fused smoother: call(u, cor, rhs) -> u' equal to
     ``nsweeps`` sweeps on (u + cor) — the V-cycle ascent's
@@ -498,7 +550,10 @@ def zc_smooth_cor_3d(
     coarse_to_fine's correct-then-relax, ndsm_multigrid_core.f90:659-682).
     The add happens on the fetched VMEM windows in the same f32
     arithmetic, so results are bitwise-equal to the unfused path."""
-    call = _build(bcs, dq, shape, nsweeps, dtype, interpret, False, with_cor=True)
+    call = _build(
+        bcs, dq, shape, nsweeps, dtype, interpret, False, with_cor=True,
+        real_shape=real_shape,
+    )
     if call is None:
         return None
 
@@ -515,13 +570,17 @@ def zc_smooth_residual_3d(
     nsweeps: int,
     dtype=jnp.float32,
     interpret: bool = False,
+    real_shape=None,
 ):
     """``nsweeps`` sweeps PLUS the residual of the swept state in the
     same HBM pass: call(u, rhs) -> (u', r) with r equal to
     stencils.poisson_residual(u', rhs) (to 1 ulp).  Saves the separate
     residual pass of the V-cycle descent (reference pairs relax+residual
     the same way, ndsm_multigrid_core.f90:482-560)."""
-    call = _build(bcs, dq, shape, nsweeps, dtype, interpret, True)
+    call = _build(
+        bcs, dq, shape, nsweeps, dtype, interpret, True,
+        real_shape=real_shape,
+    )
     if call is None:
         return None
 

@@ -145,6 +145,84 @@ def test_zc_cor_fused(shape, bcs, ns):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize(
+    "real,padded,bcs,ns",
+    [
+        ((16, 13, 22), (16, 16, 128), (("D", "D"), ("N", "D"), ("D", "N")), 2),
+        ((12, 20, 30), (12, 24, 128), (("N", "N"), ("D", "D"), ("D", "D")), 3),
+        ((16, 16, 33), (16, 16, 128), (("D", "N"), ("N", "N"), ("D", "D")), 1),
+    ],
+)
+def test_zc_kernel_padded_real_faces(real, padded, bcs, ns):
+    """real_shape < padded storage: sweeps on the real region are
+    BITWISE those of the masked XLA sweep on the real arrays (the real
+    top-face reflection/freezing replaces the array-edge one), and the
+    pad region is frozen."""
+    rng = np.random.default_rng(hash((real, ns)) % 2**31)
+    dq = np.array([0.9, 1.1, 1.3])
+    u_r = jnp.asarray(rng.standard_normal(real), jnp.float32)
+    r_r = jnp.asarray(rng.standard_normal(real), jnp.float32)
+    pad = [(0, p - q) for p, q in zip(padded, real)]
+    u_p = jnp.pad(u_r, pad, constant_values=7.5)  # nonzero pad: must be inert
+    r_p = jnp.pad(r_r, pad, constant_values=-3.25)
+    f = zc.zc_smooth_3d(bcs, dq, padded, ns, interpret=True, real_shape=real)
+    assert f is not None
+    got = np.asarray(jax.jit(f)(u_p, r_p))
+    want = u_r
+    for _ in range(ns):
+        want = stencils.rb_sweep(want, r_r, dq, bcs)
+    sl = tuple(slice(0, s) for s in real)
+    np.testing.assert_array_equal(got[sl], np.asarray(want))
+    # pad region frozen at its input values
+    assert (got[:, real[1]:, :] == 7.5).all()
+    assert (got[:, :, real[2]:] == 7.5).all()
+
+    # residual-fused variant: real region matches, pad region zero
+    fr = zc.zc_smooth_residual_3d(bcs, dq, padded, ns, interpret=True, real_shape=real)
+    assert fr is not None
+    gu, gr = jax.jit(fr)(u_p, r_p)
+    gu, gr = np.asarray(gu), np.asarray(gr)
+    wr = stencils.poisson_residual(want, r_r, dq, bcs)
+    np.testing.assert_array_equal(gu[sl], np.asarray(want))
+    np.testing.assert_allclose(gr[sl], np.asarray(wr), rtol=0, atol=1e-5)
+    assert (gr[:, real[1]:, :] == 0).all()
+    assert (gr[:, :, real[2]:] == 0).all()
+
+
+def test_engine_padded_solve_interpret(monkeypatch):
+    """A kernel-eligible but UNALIGNED size runs the mixed solve on
+    padded work storage (engine._padded[0]) and matches the XLA engine:
+    same cycle count, solutions to solver tolerance."""
+    from ndsm_tpu import GridHierarchy, Options, PoissonBVP
+
+    n = 22  # golden-table size: ny % 8 != 0, nx % 128 != 0
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(12)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    opts = Options(precision="mixed", vc_tol=1e-10, ncycles_max=60)
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    bvp_p = PoissonBVP(h, bcs, opts)
+    eng = bvp_p._inner
+    assert eng._padded[0] and eng._work_shapes[0] == (22, 24, 128)
+    u_p, info_p = bvp_p.solve(u0, rhs)
+
+    monkeypatch.delenv("NDSM_TPU_PALLAS")
+    monkeypatch.delenv("NDSM_TPU_PALLAS_MIN_POINTS")
+    bvp_x = PoissonBVP(h, bcs, opts)
+    assert not bvp_x._inner._padded[0]
+    u_x, info_x = bvp_x.solve(u0, rhs)
+    assert info_p.ierr == 0 and info_x.ierr == 0
+    assert info_p.cycles == info_x.cycles
+    np.testing.assert_allclose(
+        np.asarray(u_p), np.asarray(u_x), rtol=0, atol=1e-9
+    )
+
+
 def test_engine_cor_fusion_interpret(monkeypatch):
     """MGEngine.t_smooth_cor with the fused kernel equals
     t_smooth(u + cor) exactly, and the V-cycle using it matches the XLA
