@@ -150,6 +150,46 @@ class MultiBCSolver:
         self.use_pallas = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
         self._pallas_fns: dict = {}
 
+        # ---- Padded kernel levels (see MGEngine._plan_padding) ---------
+        # Unaligned levels adopt y/x-padded work storage so the zc
+        # kernels (built with real-face boundaries) cover sizes like the
+        # reference's 220^3 headline; the pad region stays identically
+        # zero (kernel-frozen, zero-padded transfer blocks).  All lanes
+        # must support the padded kernels for a level to be padded.
+        self._work_shapes: List[tuple] = [tuple(s) for s in hierarchy.shapes]
+        self._padded: List[bool] = [False] * hierarchy.ngrids
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.inner_dtype == jnp.float32
+            and hierarchy.ndim == 3
+            and options.ms >= 1
+        ):
+            self._plan_padding()
+        if any(self._padded):
+            from .engine import MGEngine
+
+            self._interp_w = [
+                [
+                    MGEngine._pad_mat(
+                        M, self._work_shapes[l][ax], self._work_shapes[l + 1][ax]
+                    )
+                    for ax, M in enumerate(self._interp[l])
+                ]
+                for l in range(hierarchy.ngrids - 1)
+            ]
+            self._restrict_w = [
+                [
+                    MGEngine._pad_mat(
+                        M, self._work_shapes[l + 1][ax], self._work_shapes[l][ax]
+                    )
+                    for ax, M in enumerate(self._restrict[l])
+                ]
+                for l in range(hierarchy.ngrids - 1)
+            ]
+        else:
+            self._interp_w = self._interp
+            self._restrict_w = self._restrict
+
         # Double-float defect (per-lane zero-rhs kernels; this solver's
         # right-hand sides are identically zero) — see ops/pallas_df.py
         # and PoissonBVP.  Static per-lane bcs -> one kernel per lane.
@@ -186,6 +226,64 @@ class MultiBCSolver:
         self.df_defect = self._df
 
         self._solve_jit = jax.jit(self._solve_impl, donate_argnums=(0,))
+
+    # -- padded-level plumbing -------------------------------------------
+
+    def _plan_padding(self) -> None:
+        """Adopt a padded work shape for every kernel-eligible level
+        whose real shape is unaligned, PROVIDED every lane's kernel
+        variants and pass widths are supported there (no XLA fallback
+        exists on padded storage — the masked sweep would reflect at
+        the pad edge instead of the real face)."""
+        from ..ops import pallas_zc
+        from .engine import _pallas_min_points, _pallas_nsweeps
+
+        interp = self.use_pallas == "interpret"
+        widths = range(1, max(1, min(self.options.ms, _pallas_nsweeps())) + 1)
+        variants = ((False, False), (True, False), (False, True))
+        for l in range(self.h.ngrids - 1):
+            shape = self.h.shapes[l]
+            if int(np.prod(shape)) < _pallas_min_points():
+                continue
+            nz, ny, nx = shape
+            if ny % 8 == 0 and nx % 128 == 0:
+                continue  # aligned: plain kernels fire without padding
+            pshape = pallas_zc.padded_shape_3d(shape)
+            if pshape is None:
+                continue
+            ok = all(
+                pallas_zc.zc_kernel_supported(
+                    pshape, bcs, jnp.float32, n, interpret=interp,
+                    residual=res, with_cor=cor, real_shape=tuple(shape),
+                )
+                for n in widths
+                for bcs in self.bcs_list
+                for (res, cor) in variants
+            )
+            if ok:
+                self._work_shapes[l] = pshape
+                self._padded[l] = True
+
+    def _zc_build_args(self, level: int):
+        """(shape, real_shape) for the zc builders at ``level``."""
+        return (
+            self._work_shapes[level],
+            tuple(self.h.shapes[level]) if self._padded[level] else None,
+        )
+
+    def _pad0(self, x):
+        """Real -> work shape at the finest level of a stacked array."""
+        w0, r0 = self._work_shapes[0], tuple(self.h.shapes[0])
+        if not self._padded[0] or tuple(x.shape[1:]) == w0:
+            return x
+        return jnp.pad(x, [(0, 0)] + [(0, w - r) for w, r in zip(w0, r0)])
+
+    def _unpad0(self, x):
+        """Work -> real shape at the finest level of a stacked array."""
+        r0 = tuple(self.h.shapes[0])
+        if tuple(x.shape[1:]) == r0:
+            return x
+        return x[(slice(None),) + tuple(slice(0, r) for r in r0)]
 
     # -- batched level ops ---------------------------------------------
 
@@ -232,13 +330,15 @@ class MultiBCSolver:
         ):
             from ..ops import pallas_zc
 
+            shape, rs = self._zc_build_args(level)
             fns = tuple(
                 pallas_zc.zc_smooth_3d(
                     bcs,
                     self._dq[level],
-                    self.h.shapes[level],
+                    shape,
                     n,
                     interpret=(self.use_pallas == "interpret"),
+                    real_shape=rs,
                 )
                 for bcs in self.bcs_list
             )
@@ -262,6 +362,11 @@ class MultiBCSolver:
             fr = self._zc_fns(level, rem)
             if fr is not None:
                 ub = fr[b](ub, rb)
+            elif self._padded[level]:
+                raise RuntimeError(
+                    f"padded level {level}: zc kernel unavailable for "
+                    f"width {rem} — padding plan violated"
+                )
             else:
                 for _ in range(rem):
                     ub = stencils.rb_sweep(
@@ -349,13 +454,15 @@ class MultiBCSolver:
         ):
             from ..ops import pallas_zc
 
+            shape, rs = self._zc_build_args(level)
             fns = tuple(
                 pallas_zc.zc_smooth_residual_3d(
                     bcs,
                     self._dq[level],
-                    self.h.shapes[level],
+                    shape,
                     n,
                     interpret=(self.use_pallas == "interpret"),
+                    real_shape=rs,
                 )
                 for bcs in self.bcs_list
             )
@@ -380,13 +487,15 @@ class MultiBCSolver:
         ):
             from ..ops import pallas_zc
 
+            shape, rs = self._zc_build_args(level)
             fns = tuple(
                 pallas_zc.zc_smooth_cor_3d(
                     bcs,
                     self._dq[level],
-                    self.h.shapes[level],
+                    shape,
                     n,
                     interpret=(self.use_pallas == "interpret"),
+                    real_shape=rs,
                 )
                 for bcs in self.bcs_list
             )
@@ -452,16 +561,28 @@ class MultiBCSolver:
         return u
 
     def _smooth(self, u, rhs, level, n):
+        # On a padded level, WORK-shaped arrays must use the real-face
+        # zc kernels (the masked/compact/fused forms built on the real
+        # shape would either trace-fail or reflect at the pad edge);
+        # REAL-shaped arrays (compat callers) take the real-shape paths.
+        on_work = tuple(u.shape[1:]) == tuple(self._work_shapes[level])
         if u.dtype == jnp.float32:
             from .engine import _pallas_nsweeps
 
             ns_star = min(n, _pallas_nsweeps())
-            if self._zc_fns(level, ns_star) is not None:
+            if on_work and self._zc_fns(level, ns_star) is not None:
                 return jnp.stack(
                     [
                         self._smooth_zc_lane(u[b], rhs[b], b, level, n, ns_star)
                         for b in range(self.B)
                     ]
+                )
+            if self._padded[level] and on_work:
+                # _plan_padding guarantees the zc kernels at every
+                # composed width on padded levels.
+                raise RuntimeError(
+                    f"padded level {level}: zc kernels unavailable — "
+                    "padding plan violated"
                 )
             fns = self._compact_fns(level, ns_star)
             if fns is not None:
@@ -497,6 +618,14 @@ class MultiBCSolver:
                             0, rem, lambda _, v: self._sweep(v, rhs, level), u
                         )
                 return u
+        if self._padded[level] and on_work:
+            # The masked XLA sweep on padded storage would reflect at
+            # the pad edge (wrong BCs); padding is only planned for the
+            # f32 inner dtype, so this indicates a driver bug.
+            raise RuntimeError(
+                f"padded level {level}: non-f32 work-shaped smooth — "
+                "padding plan violated"
+            )
         return lax.fori_loop(0, n, lambda _, v: self._sweep(v, rhs, level), u)
 
     def _residual(self, u, rhs, level):
@@ -520,6 +649,13 @@ class MultiBCSolver:
         return e.reshape(rhs.shape)
 
     def _vcycle(self, u, rhs, ex_tol, nmax_exact):
+        if self._padded[0] and tuple(u.shape[1:]) == tuple(self.h.shapes[0]):
+            # Compat entry for real-shaped stacked inputs; the mixed
+            # drivers keep their iterates on work storage instead.
+            up, noconv = self._vcycle(
+                self._pad0(u), self._pad0(rhs), ex_tol, nmax_exact
+            )
+            return self._unpad0(up), noconv
         L = self.h.ngrids
         ms = self.options.ms
         us = [None] * L
@@ -527,10 +663,10 @@ class MultiBCSolver:
         us[0], rhss[0] = u, rhs
         for l in range(L - 1):
             ul, r = self._smooth_residual(us[l], rhss[l], l, ms)
-            rhss[l + 1] = _apply_axis_matrices_b(r, self._restrict[l])
+            rhss[l + 1] = _apply_axis_matrices_b(r, self._restrict_w[l])
             us[l] = ul
             us[l + 1] = jnp.zeros(
-                (self.B,) + self.h.shapes[l + 1], dtype=u.dtype
+                (self.B,) + self._work_shapes[l + 1], dtype=u.dtype
             )
         if self.coarse_direct:
             us[L - 1] = self._coarse_solve(rhss[L - 1])
@@ -541,14 +677,25 @@ class MultiBCSolver:
             )
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
-            cor = _apply_axis_matrices_b(uc, self._interp[l])
+            cor = _apply_axis_matrices_b(uc, self._interp_w[l])
             us[l] = self._smooth_cor(us[l], cor, rhss[l], l, ms)
         return us[0], noconv
 
     def _metric(self, a, b):
-        """Per-lane max/mean |a - b| over the grid axes."""
+        """Per-lane max/mean |a - b| over the grid axes.  On padded
+        finest-level storage the mean divisor is corrected to the REAL
+        point count (pad entries are identically zero in the
+        difference: kernel-frozen, zero-padded transfers)."""
         d = jnp.abs(a - b).reshape(self.B, -1)
-        return jnp.max(d, axis=1) if self.options.du_max else jnp.mean(d, axis=1)
+        if self.options.du_max:
+            return jnp.max(d, axis=1)
+        m = jnp.mean(d, axis=1)
+        if self._padded[0] and tuple(a.shape[1:]) == self._work_shapes[0]:
+            scale = float(np.prod(self._work_shapes[0])) / float(
+                np.prod(self.h.shapes[0])
+            )
+            m = m * jnp.asarray(scale, m.dtype)
+        return m
 
     def _coarse_relax(self, u, rhs, level, ex_tol, nmax_exact):
         """Per-lane relax-to-ex_tol with lane freezing (reference
@@ -596,7 +743,7 @@ class MultiBCSolver:
         s = jnp.max(jnp.abs(r0).reshape(B, -1), axis=1)
         s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
         sb = s_safe.reshape(shape1)
-        r32 = (r0 / sb).astype(self.inner_dtype)
+        r32 = self._pad0((r0 / sb).astype(self.inner_dtype))
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32)
         e0 = jnp.zeros(r32.shape, dtype=self.inner_dtype)
@@ -647,7 +794,7 @@ class MultiBCSolver:
             e32, du_e, _, k, noconv = body(init)
         else:
             e32, du_e, _, k, noconv = lax.while_loop(cond, body, init)
-        e = e32.astype(self.outer_dtype) * sb
+        e = self._unpad0(e32).astype(self.outer_dtype) * sb
         e = jnp.where((s > 0).reshape(shape1), e, jnp.zeros_like(e))
         return u + e, noconv, du_of(du_e), k
 

@@ -212,10 +212,8 @@ class MGEngine:
             nz, ny, nx = shape
             if ny % 8 == 0 and nx % 128 == 0:
                 continue  # aligned: plain kernels fire without padding
-            if nz % 2 or min(ny, nx) < 3:
-                continue
-            pshape = (nz, -(-ny // 8) * 8, -(-nx // 128) * 128)
-            if pshape == tuple(shape):
+            pshape = pallas_zc.padded_shape_3d(shape)
+            if pshape is None:
                 continue
             ok = True
             for n in widths:

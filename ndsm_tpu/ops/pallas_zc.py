@@ -72,6 +72,7 @@ __all__ = [
     "zc_smooth_residual_3d",
     "zc_smooth_sharded_3d",
     "zc_kernel_supported",
+    "zc_covers_3d",
     "zc_sharded_supported",
     "pick_tiles_zc",
     "pick_tiles_zc_sharded",
@@ -154,6 +155,51 @@ def zc_kernel_supported(
     if not interpret and ny % 8 != 0:
         return False  # sublane-aligned window clamps
     return pick_tiles_zc(tuple(shape), nsweeps, residual, with_cor) is not None
+
+
+def padded_shape_3d(shape) -> Optional[Tuple[int, int, int]]:
+    """The y/x-padded work shape serving unaligned ``shape``, or None
+    when padding cannot apply (odd nz, degenerate extents, or already
+    aligned)."""
+    nz, ny, nx = (int(v) for v in shape)
+    if nz % 2 or min(ny, nx) < 3:
+        return None
+    pshape = (nz, -(-ny // 8) * 8, -(-nx // 128) * 128)
+    return None if pshape == (nz, ny, nx) else pshape
+
+
+def zc_covers_3d(
+    shape, bcs: BCS, nsweeps: int, interpret: bool = False,
+    allow_padded: bool = True,
+) -> bool:
+    """True when the full z-compact kernel family (plain, residual-fused
+    and correction-fused, at every pass width 1..nsweeps) serves
+    ``shape`` — directly, or (``allow_padded``) on y/x-padded work
+    storage with real-face boundaries (the engines' padded-level plan).
+    This is the production eligibility predicate for dispatch decisions
+    above the engines (e.g. the batched-component "auto" gate; callers
+    must separately honor the min-points gate for padded coverage)."""
+    variants = ((False, False), (True, False), (False, True))
+
+    def sup(s, rs):
+        return all(
+            zc_kernel_supported(
+                s, bcs, jnp.float32, n, interpret=interpret,
+                residual=r, with_cor=c, real_shape=rs,
+            )
+            for n in range(1, max(1, nsweeps) + 1)
+            for (r, c) in variants
+        )
+
+    shape = tuple(int(v) for v in shape)
+    if len(shape) != 3:
+        return False
+    if sup(shape, None):
+        return True
+    if not allow_padded:
+        return False
+    pshape = padded_shape_3d(shape)
+    return pshape is not None and sup(pshape, shape)
 
 
 def _shift_edge(v, axis: int):

@@ -351,11 +351,13 @@ def compute_vector_potential(
         hbm = float(os.environ.get("NDSM_TPU_HBM_BYTES", 16e9))
         batch_ok = 3 * float(nz) * ny * nx * 48.0 < 0.85 * hbm
     if batch_ok and bc_mode == "auto":
-        # "auto" batches only when the fused Pallas smoother covers the
-        # fine level for every lane: without it the batched solver's
-        # masked smoothing is slower than the sequential color-compact
-        # path at large unaligned sizes (e.g. 220^3).
-        from ..ops import pallas_fused
+        # "auto" batches only when the production zc kernel family
+        # covers the fine level for every lane — directly or on padded
+        # work storage (MultiBCSolver._plan_padding): without it the
+        # batched solver's masked smoothing is slower than the
+        # sequential color-compact path at large unaligned sizes.
+        from ..mg.engine import _pallas_min_points, _pallas_nsweeps
+        from ..ops import pallas_zc
         from ..utils.compat import resolve_use_pallas
 
         up = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
@@ -363,12 +365,18 @@ def compute_vector_potential(
             tuple(("N", "N") if (2 - axis) == comp else ("D", "D") for axis in range(3))
             for comp in range(3)
         ]
+        nsw = max(1, min(options.ms, _pallas_nsweeps()))
+        # Padded coverage only activates at/above the min-points gate
+        # (MultiBCSolver._plan_padding); below it only direct coverage
+        # keeps the batched smoothing on kernels.
+        pad_ok = int(nz) * ny * nx >= _pallas_min_points()
         batch_ok = (
             up != "off"
             and mode != "fp64"
             and all(
-                pallas_fused.supported(
-                    (nz, ny, nx), b3, jnp.float32, 2, interpret=(up == "interpret")
+                pallas_zc.zc_covers_3d(
+                    (nz, ny, nx), b3, nsw, interpret=(up == "interpret"),
+                    allow_padded=pad_ok,
                 )
                 for b3 in bcs3
             )
