@@ -206,17 +206,23 @@ class MultiBCSolver:
                 if md == "auto"
                 else self.use_pallas != "off"
             )
+            # Pair on WORK storage when level 0 is padded (kernel-side
+            # real-face logic; no per-group pad/unpad) — this brings
+            # the df32 defect to unaligned sizes like 220^3.
+            w0 = tuple(self._work_shapes[0])
+            rs = w0 != tuple(hierarchy.fine_shape)
+            rs = tuple(hierarchy.fine_shape) if rs else None
             if (
                 want
                 and int(np.prod(hierarchy.fine_shape)) >= _pallas_min_points()
                 and pallas_df.df_residual_supported(
-                    hierarchy.fine_shape, jnp.float32, interpret=interp
+                    w0, jnp.float32, interpret=interp, real_shape=rs
                 )
             ):
                 fns = tuple(
                     pallas_df.df_residual_3d(
-                        bcs, hierarchy.dq[0], hierarchy.fine_shape,
-                        zero_rhs=True, interpret=interp,
+                        bcs, hierarchy.dq[0], w0,
+                        zero_rhs=True, interpret=interp, real_shape=rs,
                     )
                     for bcs in self.bcs_list
                 )
@@ -874,7 +880,9 @@ class MultiBCSolver:
         inner_max = self._inner_max
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
-        uh0, ul0 = df_decompose(u0)
+        # The pair lives on work storage (padded or not): the df kernels
+        # handle real-face boundaries and zero the pad-region residual.
+        uh0, ul0 = (self._pad0(c) for c in df_decompose(u0))
 
         def active_of(du, it):
             return jnp.logical_and(it < nmax, du >= vc_tol)
@@ -904,7 +912,7 @@ class MultiBCSolver:
             jnp.zeros((self.B,), bool),
         )
         uh, ul, du, it, flag = lax.while_loop(cond, body, init)
-        u = df_reconstruct(uh, ul, self.outer_dtype)
+        u = self._unpad0(df_reconstruct(uh, ul, self.outer_dtype))
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         return u, du, it, ierr, flag
 

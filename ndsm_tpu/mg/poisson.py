@@ -168,20 +168,30 @@ class PoissonBVP:
                 if md == "auto"
                 else use_pallas != "off"
             )
+            # On a padded inner engine the pair lives on WORK storage:
+            # the kernel handles real-face boundaries (real_shape) and
+            # the per-group pad/unpad passes disappear — this is what
+            # brings the df32 defect to unaligned sizes like 220^3.
+            w0 = tuple(self._inner._work_shapes[0])
+            rs = (
+                tuple(hierarchy.fine_shape)
+                if w0 != tuple(hierarchy.fine_shape)
+                else None
+            )
             if (
                 want
                 and int(np.prod(hierarchy.fine_shape)) >= _pallas_min_points()
                 and pallas_df.df_residual_supported(
-                    hierarchy.fine_shape, jnp.float32, interpret=interp
+                    w0, jnp.float32, interpret=interp, real_shape=rs
                 )
             ):
                 self._df_res = pallas_df.df_residual_3d(
-                    self.bcs, hierarchy.dq[0], hierarchy.fine_shape,
-                    zero_rhs=False, interpret=interp,
+                    self.bcs, hierarchy.dq[0], w0,
+                    zero_rhs=False, interpret=interp, real_shape=rs,
                 )
                 self._df_res_zero = pallas_df.df_residual_3d(
-                    self.bcs, hierarchy.dq[0], hierarchy.fine_shape,
-                    zero_rhs=True, interpret=interp,
+                    self.bcs, hierarchy.dq[0], w0,
+                    zero_rhs=True, interpret=interp, real_shape=rs,
                 )
                 self._df = self._df_res is not None
         self.df_defect = self._df
@@ -320,7 +330,8 @@ class PoissonBVP:
         else:
             r32, mx = self._df_res(uh, ul, rhsp[0], rhsp[1])
         s = jnp.max(mx).astype(self.outer_dtype)
-        r32 = eng32.t_pad0(r32)  # identity unless the inner engine pads
+        # The pair lives on the inner engine's work storage (padded or
+        # not), so r32 is already work-shaped — no pad/unpad passes.
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, eps32 * s)
         e0 = jnp.zeros(eng32._work_shapes[0], dtype=self.inner_dtype)
@@ -353,7 +364,7 @@ class PoissonBVP:
         else:
             init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
             e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
-        uh, ul = df_add(uh, ul, eng32.t_unpad0(e32))
+        uh, ul = df_add(uh, ul, e32)
         return uh, ul, noconv, du_of(du_e), k, hist
 
     def _solve_df_core(
@@ -366,10 +377,15 @@ class PoissonBVP:
         from ..ops.pallas_df import df_decompose, df_reconstruct
 
         inner_max = max(1, int(inner_max))
+        pad0 = self._inner.t_pad0
         big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
-        uh0, ul0 = df_decompose(u0.astype(self.outer_dtype))
-        rhsp = None if rhs is None else df_decompose(rhs.astype(self.outer_dtype))
+        uh0, ul0 = (pad0(c) for c in df_decompose(u0.astype(self.outer_dtype)))
+        rhsp = (
+            None
+            if rhs is None
+            else tuple(pad0(c) for c in df_decompose(rhs.astype(self.outer_dtype)))
+        )
         with_hist = hist_len is not None
         if with_hist:
             nmax = jnp.minimum(nmax, jnp.int32(hist_len))
@@ -397,7 +413,7 @@ class PoissonBVP:
 
         init = (uh0, ul0, big, jnp.asarray(0, dtype=jnp.int32), hist0, jnp.asarray(False))
         uh, ul, du, it, hist, flag = lax.while_loop(cond, body, init)
-        u = df_reconstruct(uh, ul, self.outer_dtype)
+        u = self._inner.t_unpad0(df_reconstruct(uh, ul, self.outer_dtype))
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         if with_hist:
             return u, du, it, ierr, hist, flag

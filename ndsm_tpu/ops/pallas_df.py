@@ -171,10 +171,22 @@ def pick_tiles_df(shape: Tuple[int, int, int]) -> Optional[Tuple[int, int, int, 
     return best
 
 
-def df_residual_supported(shape, dtype, interpret: bool = False) -> bool:
+def df_residual_supported(
+    shape, dtype, interpret: bool = False, real_shape=None
+) -> bool:
+    """``real_shape``: for PADDED operation, the real problem extents
+    (nz, ny_real, nx_real) with ny_real <= ny, nx_real <= nx — the
+    kernel applies the face reflection/zeroing at the REAL y/x upper
+    faces and zeroes the residual in the pad region, letting aligned
+    padded storage serve unaligned problems (same convention as
+    ops/pallas_zc.py; z is never padded)."""
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     nz, ny, nx = shape
+    if real_shape is not None:
+        rz, ry, rx = (int(v) for v in real_shape)
+        if rz != nz or not (3 <= ry <= ny) or not (3 <= rx <= nx):
+            return False
     if min(nz, ny, nx) < 3:
         return False  # face-swap reflection assumes the faces are distinct
     if not interpret and nx % 128 != 0:
@@ -285,7 +297,15 @@ def _df_kernel(
     *refs,
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     w_pairs, w_splits, zero_rhs: bool, bcs: BCS,
+    ny_real: int | None = None, nx_real: int | None = None,
 ):
+    # Padded storage: boundary logic keys on the REAL extents; the
+    # residual is zeroed in the pad region (the work-storage invariant:
+    # pads stay identically zero through the solve).
+    ny_real = ny if ny_real is None else ny_real
+    nx_real = nx if nx_real is None else nx_real
+    pad_y = ny_real < ny
+    pad_x = nx_real < nx
     if zero_rhs:
         (
             uh_hbm, ul_hbm, out_ref, max_ref,
@@ -373,8 +393,8 @@ def _df_kernel(
         if ax == 0:
             return gz == i32(0), gz == i32(nz - 1)
         if ax == 1:
-            return gyy == i32(0), gyy == i32(ny - 1)
-        return kx == i32(0), kx == i32(nx - 1)
+            return gyy == i32(0), gyy == i32(ny_real - 1)
+        return kx == i32(0), kx == i32(nx_real - 1)
 
     uh = bufUH[slot]
     ul = bufUL[slot]
@@ -399,6 +419,14 @@ def _df_kernel(
             interior = _and(interior, ~at_hi)
     if interior is not None:
         r32 = jnp.where(interior, r32, jnp.float32(0.0))
+    if pad_y or pad_x:
+        in_real = None
+        if pad_y:
+            in_real = gyy < i32(ny_real)
+        if pad_x:
+            c = kx < i32(nx_real)
+            in_real = c if in_real is None else jnp.logical_and(in_real, c)
+        r32 = jnp.where(in_real, r32, jnp.float32(0.0))
 
     bufO[slot] = r32
 
@@ -437,6 +465,7 @@ def df_residual_3d(
     zero_rhs: bool = False,
     dtype=jnp.float32,
     interpret: bool = False,
+    real_shape=None,
 ):
     """Build the double-float defect-residual callable, or None if the
     shape is unsupported.  Returns call(u_hi, u_lo[, rhs_hi, rhs_lo]) ->
@@ -444,10 +473,19 @@ def df_residual_3d(
     precision (semantics of ops/stencils.poisson_residual on the
     f64-reconstructed inputs; max deviation ~1e-13 of the stencil-term
     scale) and max_tiles a (gz, gy, 8, 128) array whose jnp.max equals
-    max|r32| (per-window maxima, broadcast into aligned tiles)."""
+    max|r32| (per-window maxima, broadcast into aligned tiles).
+
+    ``real_shape``: padded operation on aligned work storage serving an
+    unaligned real problem (see df_residual_supported)."""
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
-    if not df_residual_supported(shape, dtype, interpret=interpret):
+    if real_shape is not None:
+        real_shape = tuple(int(s) for s in real_shape)
+        if real_shape == shape:
+            real_shape = None
+    if not df_residual_supported(
+        shape, dtype, interpret=interpret, real_shape=real_shape
+    ):
         return None
     nz, ny, nx = shape
     tz, ty, W_z, W_y = pick_tiles_df(shape)
@@ -472,6 +510,8 @@ def df_residual_3d(
         _df_kernel,
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         w_pairs=w_pairs, w_splits=w_splits, zero_rhs=zero_rhs, bcs=bcs,
+        ny_real=None if real_shape is None else real_shape[1],
+        nx_real=None if real_shape is None else real_shape[2],
     )
     grid = (nz // tz, ny // ty)
     n_in = 2 if zero_rhs else 4

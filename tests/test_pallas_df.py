@@ -95,6 +95,98 @@ def test_df_residual_zero_rhs_variant():
     assert float(jnp.max(m_full)) == float(jnp.max(m_zero))
 
 
+def test_df_residual_padded_matches_direct():
+    """Padded work storage (real_shape): the kernel applies the face
+    reflection/zeroing at the REAL y/x faces, keeps the pad-region
+    residual identically zero, and reproduces the direct (unpadded)
+    kernel bitwise at every real point — the property that lets the
+    mixed outer pair live on padded storage at 220^3-class sizes."""
+    # ---- x-pad only (direct kernel exists at ny % 8 == 0): bitwise
+    n = 24
+    u, dq = _case(n, seed=5)
+    bcs = (("N", "N"), ("D", "D"), ("N", "D"))
+    uh, ul = dfm.df_decompose(jnp.asarray(u))
+    rhs = 1e-6 * np.asarray(np.random.default_rng(6).standard_normal((n, n, n)))
+    rh, rl = dfm.df_decompose(jnp.asarray(rhs))
+    pshape = (n, n, 128)
+
+    def pad(a, pshape):
+        return jnp.pad(a, [(0, p - s) for p, s in zip(pshape, a.shape)])
+
+    for zero in (True, False):
+        direct = dfm.df_residual_3d(bcs, dq, (n, n, n), zero_rhs=zero, interpret=True)
+        padded = dfm.df_residual_3d(
+            bcs, dq, pshape, zero_rhs=zero, interpret=True, real_shape=(n, n, n)
+        )
+        assert direct is not None and padded is not None
+        if zero:
+            r_d, m_d = direct(uh, ul)
+            r_p, m_p = padded(pad(uh, pshape), pad(ul, pshape))
+        else:
+            r_d, m_d = direct(uh, ul, rh, rl)
+            r_p, m_p = padded(
+                pad(uh, pshape), pad(ul, pshape), pad(rh, pshape), pad(rl, pshape)
+            )
+        r_p = np.asarray(r_p)
+        np.testing.assert_array_equal(r_p[:, :, :n], np.asarray(r_d))
+        assert np.abs(r_p[:, :, n:]).max() == 0.0
+        assert float(jnp.max(m_p)) == float(jnp.max(m_d))
+
+    # ---- y+x padding (no direct kernel at ny % 8 != 0): f64 oracle
+    m = 20
+    u2, dq2 = _case(m, seed=7)
+    rhs2 = -np.asarray(
+        stencils.poisson_residual(
+            jnp.asarray(u2), jnp.zeros((m, m, m)), jnp.asarray(dq2), bcs
+        )
+    )
+    u2 = u2 * (1 + 1e-9) + 1e-9
+    p2 = (m, 24, 128)
+    uh2, ul2 = dfm.df_decompose(jnp.asarray(u2))
+    rh2, rl2 = dfm.df_decompose(jnp.asarray(rhs2))
+    padded2 = dfm.df_residual_3d(
+        bcs, dq2, p2, zero_rhs=False, interpret=True, real_shape=(m, m, m)
+    )
+    assert padded2 is not None
+    r_p2, m_p2 = padded2(
+        pad(uh2, p2), pad(ul2, p2), pad(rh2, p2), pad(rl2, p2)
+    )
+    r_p2 = np.asarray(r_p2, dtype=np.float64)
+    assert np.abs(r_p2[:, m:, :]).max() == 0.0
+    assert np.abs(r_p2[:, :, m:]).max() == 0.0
+    r64 = np.asarray(
+        stencils.poisson_residual(
+            jnp.asarray(u2, jnp.float64), jnp.asarray(rhs2, jnp.float64),
+            jnp.asarray(dq2), bcs,
+        )
+    )
+    scale = float(np.abs(rhs2).max())
+    assert np.abs(r_p2[:m, :m, :m] - r64).max() < 1e-12 * scale
+    assert float(jnp.max(m_p2)) == float(np.abs(r_p2).max())
+
+    # unsupported paddings reject: z padding, real bigger than work
+    assert not dfm.df_residual_supported(
+        (m + 2, 24, 128), jnp.float32, interpret=True, real_shape=(m, m, m)
+    )
+    assert not dfm.df_residual_supported(
+        (m, 24, 128), jnp.float32, interpret=True, real_shape=(m, 240, m)
+    )
+
+
+def test_df32_padded_pair_solve(monkeypatch):
+    """End-to-end df32 at an unaligned size: the engine pads level 0,
+    the pair lives on work storage, and the solve matches the f64-defect
+    solve (pair precision) with the same cycle count contract."""
+    n = 20
+    bvp_df, u_df, info_df = _solve_pair(n, "df32", monkeypatch)
+    assert bvp_df.df_defect and bvp_df._inner._padded[0]
+    bvp_64, u_64, info_64 = _solve_pair(n, "f64", monkeypatch)
+    assert not bvp_64.df_defect
+    assert info_df.ierr == 0 and info_64.ierr == 0
+    assert abs(info_df.cycles - info_64.cycles) <= 2
+    np.testing.assert_allclose(u_df, u_64, rtol=0, atol=5e-10)
+
+
 def test_df_add_scaled_pair_update():
     rng = np.random.default_rng(7)
     u = rng.standard_normal(512)
