@@ -195,6 +195,7 @@ class MultiBCSolver:
         # and PoissonBVP.  Static per-lane bcs -> one kernel per lane.
         self._df = False
         self._df_lane_res = None
+        self._df_lane_upd = None
         md = getattr(options, "mixed_defect", "auto")
         if self.mode == "mixed" and md != "f64" and hierarchy.ndim == 3:
             from ..ops import pallas_df
@@ -229,6 +230,18 @@ class MultiBCSolver:
                 if all(f is not None for f in fns):
                     self._df_lane_res = fns
                     self._df = True
+                    # Update-fused variants (or None under the larger
+                    # VMEM footprint): apply the previous group's
+                    # correction in-kernel, no standalone df_add pass.
+                    upd = tuple(
+                        pallas_df.df_residual_3d(
+                            bcs, hierarchy.dq[0], w0, zero_rhs=True,
+                            interpret=interp, real_shape=rs, update=True,
+                        )
+                        for bcs in self.bcs_list
+                    )
+                    if all(f is not None for f in upd):
+                        self._df_lane_upd = upd
         self.df_defect = self._df
 
         self._solve_jit = jax.jit(self._solve_impl, donate_argnums=(0,))
@@ -804,7 +817,9 @@ class MultiBCSolver:
         e = jnp.where((s > 0).reshape(shape1), e, jnp.zeros_like(e))
         return u + e, noconv, du_of(du_e), k
 
-    def _mixed_group_df(self, uh, ul, ex_tol, nmax_exact, vc_tol, it_vec, nmax, inner_max):
+    def _mixed_group_df(
+        self, uh, ul, e_prev, ex_tol, nmax_exact, vc_tol, it_vec, nmax, inner_max
+    ):
         """``_mixed_group`` with the stacked outer state as an (hi, lo)
         f32 pair and the per-lane defect from the double-float zero-rhs
         Pallas kernels (ops/pallas_df.py) — per-lane group semantics
@@ -812,12 +827,31 @@ class MultiBCSolver:
         V-cycles run on the UNSCALED defect (see
         PoissonBVP._mixed_group_df); the eps32 coarse floor is scaled by
         the cross-lane max|r| — inert in this solver's coarse_direct
-        configurations."""
+        configurations.
+
+        Pending-correction flow (see PoissonBVP._mixed_group_df):
+        ``e_prev`` (previous group's stacked correction, or None) is
+        applied in-kernel when the update-fused variants exist; the
+        group's own correction returns UNAPPLIED.  The driver lane-masks
+        the accepted (pair, pending) and applies the final correction
+        once — a frozen lane keeps its pre-update pair and its pending
+        correction, so each lane's iterate sequence stays identical to a
+        standalone solve."""
         from ..ops.pallas_df import df_add
 
         B = self.B
         shape1 = (B,) + (1,) * (uh.ndim - 1)
-        outs = [self._df_lane_res[b](uh[b], ul[b]) for b in range(B)]
+        if e_prev is not None and self._df_lane_upd is None:
+            uh, ul = df_add(uh, ul, e_prev)
+            e_prev = None
+        if e_prev is not None:
+            outs = [
+                self._df_lane_upd[b](uh[b], ul[b], e_prev[b]) for b in range(B)
+            ]
+            uh = jnp.stack([o[2] for o in outs])
+            ul = jnp.stack([o[3] for o in outs])
+        else:
+            outs = [self._df_lane_res[b](uh[b], ul[b]) for b in range(B)]
         r32 = jnp.stack([o[0] for o in outs])
         s = jnp.max(jnp.stack([jnp.max(o[1]) for o in outs])).astype(
             self.outer_dtype
@@ -869,16 +903,14 @@ class MultiBCSolver:
             e32, du_e, _, k, noconv = body(init)
         else:
             e32, du_e, _, k, noconv = lax.while_loop(cond, body, init)
-        uh, ul = df_add(uh, ul, e32)
-        return uh, ul, noconv, du_of(du_e), k
+        return uh, ul, e32, noconv, du_of(du_e), k
 
     def _solve_impl_df(self, u0, vc_tol, ex_tol, nmax, nmax_exact):
         """``_solve_impl`` in double-float defect mode: the stacked
         iterate is carried as an f32 pair (see PoissonBVP._solve_df_core)."""
-        from ..ops.pallas_df import df_decompose, df_reconstruct
+        from ..ops.pallas_df import df_add, df_decompose, df_reconstruct
 
         inner_max = self._inner_max
-        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
         # The pair lives on work storage (padded or not): the df kernels
         # handle real-face boundaries and zero the pad-region residual.
@@ -888,30 +920,34 @@ class MultiBCSolver:
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def cond(c):
-            _, _, du, it, _ = c
+            _, _, _, du, it, _ = c
             return jnp.any(active_of(du, it))
 
         def body(c):
-            uh, ul, du, it, flag = c
+            uh, ul, e, du, it, flag = c
             active = active_of(du, it)
-            uh_n, ul_n, noconv, du_new, ncyc = self._mixed_group_df(
-                uh, ul, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+            uh_n, ul_n, e_new, noconv, du_new, ncyc = self._mixed_group_df(
+                uh, ul, e, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
             )
+            # Frozen lanes keep their pre-update pair AND their pending
+            # correction (applied exactly once after the loop).
             sel = active.reshape((self.B,) + (1,) * (uh.ndim - 1))
             uh = jnp.where(sel, uh_n, uh)
             ul = jnp.where(sel, ul_n, ul)
+            e = jnp.where(sel, e_new, e)
             du = jnp.where(active, du_new, du)
             it = it + jnp.where(active, ncyc, 0)
-            return (uh, ul, du, it, flag | (noconv & active))
+            return (uh, ul, e, du, it, flag | (noconv & active))
 
-        init = (
-            uh0,
-            ul0,
-            jnp.full((self.B,), big),
-            jnp.zeros((self.B,), jnp.int32),
-            jnp.zeros((self.B,), bool),
+        # First group (all lanes active), then the fused loop; every
+        # lane's final pending correction is applied once at the end.
+        uh, ul, e, noconv0, du0, k0 = self._mixed_group_df(
+            uh0, ul0, None, ex_tol, nmax_exact, vc_tol,
+            jnp.zeros((self.B,), jnp.int32), nmax, inner_max,
         )
-        uh, ul, du, it, flag = lax.while_loop(cond, body, init)
+        init = (uh, ul, e, du0, jnp.asarray(k0, jnp.int32), noconv0)
+        uh, ul, e, du, it, flag = lax.while_loop(cond, body, init)
+        uh, ul = df_add(uh, ul, e)
         u = self._unpad0(df_reconstruct(uh, ul, self.outer_dtype))
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         return u, du, it, ierr, flag

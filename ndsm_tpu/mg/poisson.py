@@ -149,6 +149,7 @@ class PoissonBVP:
         # kernel (ops/pallas_df.py) instead of emulated-f64 XLA.
         self._df = False
         self._df_res = self._df_res_zero = None
+        self._df_upd = self._df_upd_zero = None
         md = getattr(options, "mixed_defect", "auto")
         if md not in ("auto", "f64", "df32"):
             raise ValueError(f"unknown mixed_defect {md!r}")
@@ -192,6 +193,19 @@ class PoissonBVP:
                 self._df_res_zero = pallas_df.df_residual_3d(
                     self.bcs, hierarchy.dq[0], w0,
                     zero_rhs=True, interpret=interp, real_shape=rs,
+                )
+                # Update-fused variants (may be None under the larger
+                # VMEM footprint): the previous group's correction is
+                # applied in-kernel, killing the standalone df_add pass.
+                self._df_upd = pallas_df.df_residual_3d(
+                    self.bcs, hierarchy.dq[0], w0,
+                    zero_rhs=False, interpret=interp, real_shape=rs,
+                    update=True,
+                )
+                self._df_upd_zero = pallas_df.df_residual_3d(
+                    self.bcs, hierarchy.dq[0], w0,
+                    zero_rhs=True, interpret=interp, real_shape=rs,
+                    update=True,
                 )
                 self._df = self._df_res is not None
         self.df_defect = self._df
@@ -309,13 +323,21 @@ class PoissonBVP:
         return u_new, noconv, du_of(du_e), k, hist
 
     def _mixed_group_df(
-        self, uh, ul, rhsp, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
+        self, uh, ul, e_prev, rhsp, ex_tol, nmax_exact, vc_tol, it, nmax,
+        inner_max, hist,
     ):
         """``_mixed_group`` with the outer state as an (hi, lo) f32 pair
         and the defect computed by the double-float Pallas kernel — same
         group semantics, ~2^-48 instead of 2^-52 outer precision (du
         floor ~1e-13; see ops/pallas_df.py).  ``rhsp`` is the rhs pair,
         or None for the in-kernel zero-rhs variant.
+
+        Pending-correction flow: ``e_prev`` (the PREVIOUS group's
+        correction, or None for the first group) is applied to the pair
+        inside the residual kernel when the update-fused variant exists
+        (bitwise the XLA df_add), and the group returns its own
+        correction UNAPPLIED — the driver applies the final one.  The
+        iterate sequence is bitwise-identical to the unfused pipeline.
 
         Unlike ``_mixed_group``, the inner V-cycles run on the UNSCALED
         defect: f32 resolution is relative, so unit-scaling only ever
@@ -325,10 +347,20 @@ class PoissonBVP:
         from ..ops.pallas_df import df_add
 
         eng32 = self._inner
-        if rhsp is None:
-            r32, mx = self._df_res_zero(uh, ul)
-        else:
-            r32, mx = self._df_res(uh, ul, rhsp[0], rhsp[1])
+        if e_prev is not None:
+            upd = self._df_upd_zero if rhsp is None else self._df_upd
+            if upd is None:
+                uh, ul = df_add(uh, ul, e_prev)
+                e_prev = None
+            elif rhsp is None:
+                r32, mx, uh, ul = upd(uh, ul, e_prev)
+            else:
+                r32, mx, uh, ul = upd(uh, ul, rhsp[0], rhsp[1], e_prev)
+        if e_prev is None:
+            if rhsp is None:
+                r32, mx = self._df_res_zero(uh, ul)
+            else:
+                r32, mx = self._df_res(uh, ul, rhsp[0], rhsp[1])
         s = jnp.max(mx).astype(self.outer_dtype)
         # The pair lives on the inner engine's work storage (padded or
         # not), so r32 is already work-shaped — no pad/unpad passes.
@@ -364,8 +396,15 @@ class PoissonBVP:
         else:
             init = (e0, big32, big32, jnp.int32(0), jnp.asarray(False), hist)
             e32, du_e, _, k, noconv, hist = lax.while_loop(cond, body, init)
-        uh, ul = df_add(uh, ul, e32)
-        return uh, ul, noconv, du_of(du_e), k, hist
+        if self.options.debug:
+            from ..utils.compat import callbacks_supported
+
+            if callbacks_supported():
+                jax.debug.print(
+                    "DEBUG(solve_poisson_bvp): Solution delta: {du}",
+                    du=du_of(du_e),
+                )
+        return uh, ul, e32, noconv, du_of(du_e), k, hist
 
     def _solve_df_core(
         self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact, inner_max, hist_len
@@ -374,11 +413,10 @@ class PoissonBVP:
         double-float defect mode: the iterate is carried as an f32 pair;
         ``rhs`` may be None (zero-rhs kernel variant).  Semantics match
         ``_solve_impl`` with outer precision ~2^-48 instead of 2^-52."""
-        from ..ops.pallas_df import df_decompose, df_reconstruct
+        from ..ops.pallas_df import df_add, df_decompose, df_reconstruct
 
         inner_max = max(1, int(inner_max))
         pad0 = self._inner.t_pad0
-        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, dtype=self.outer_dtype)
         vc_tol = jnp.asarray(vc_tol).astype(self.outer_dtype)
         uh0, ul0 = (pad0(c) for c in df_decompose(u0.astype(self.outer_dtype)))
         rhsp = (
@@ -394,25 +432,26 @@ class PoissonBVP:
             hist0 = None
 
         def cond(c):
-            _, _, du, it, _, _ = c
+            _, _, _, du, it, _, _ = c
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def body(c):
-            uh, ul, _, it, hist, flag = c
-            uh, ul, noconv, du, ncyc, hist = self._mixed_group_df(
-                uh, ul, rhsp, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
+            uh, ul, e, du, it, hist, flag = c
+            uh, ul, e, noconv, du, ncyc, hist = self._mixed_group_df(
+                uh, ul, e, rhsp, ex_tol, nmax_exact, vc_tol, it, nmax,
+                inner_max, hist,
             )
-            if self.options.debug:
-                from ..utils.compat import callbacks_supported
+            return (uh, ul, e, du, it + ncyc, hist, flag | noconv)
 
-                if callbacks_supported():
-                    jax.debug.print(
-                        "DEBUG(solve_poisson_bvp): Solution delta: {du}", du=du
-                    )
-            return (uh, ul, du, it + ncyc, hist, flag | noconv)
-
-        init = (uh0, ul0, big, jnp.asarray(0, dtype=jnp.int32), hist0, jnp.asarray(False))
-        uh, ul, du, it, hist, flag = lax.while_loop(cond, body, init)
+        # First group (no pending correction), then the fused loop; the
+        # final group's correction is applied once after exit.
+        uh, ul, e, noconv0, du0, k0, hist = self._mixed_group_df(
+            uh0, ul0, None, rhsp, ex_tol, nmax_exact, vc_tol,
+            jnp.int32(0), nmax, inner_max, hist0,
+        )
+        init = (uh, ul, e, du0, jnp.asarray(k0, jnp.int32), hist, noconv0)
+        uh, ul, e, du, it, hist, flag = lax.while_loop(cond, body, init)
+        uh, ul = df_add(uh, ul, e)
         u = self._inner.t_unpad0(df_reconstruct(uh, ul, self.outer_dtype))
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         if with_hist:

@@ -146,14 +146,18 @@ def df_add(uh, ul, e32):
 # ----------------------------------------------------------------------
 
 
-def pick_tiles_df(shape: Tuple[int, int, int]) -> Optional[Tuple[int, int, int, int]]:
+def pick_tiles_df(
+    shape: Tuple[int, int, int], n_stream: int = 5
+) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y): tile divisors and window extents under the
     VMEM budget.  Halos: 1 plane in z, 8 rows in y (sublane alignment);
     a window capped at the full axis is halo-free there.  Budget counts
-    4 double-buffered input streams + the out buffer + the compensated
-    stencil's live temporaries (~12 dense units measured as Mosaic
-    scoped stack)."""
+    ``n_stream`` double-buffered dense streams (inputs + dense outputs;
+    5 for the plain full-rhs kernel, 8 for the update-fused one) + the
+    compensated stencil's live temporaries (~12 dense units measured as
+    Mosaic scoped stack)."""
     nz, ny, nx = shape
+    units = 2 * n_stream + 12
     best, best_frac = None, 0.0
     for tz in range(1, min(nz, 256) + 1):
         if nz % tz:
@@ -163,7 +167,7 @@ def pick_tiles_df(shape: Tuple[int, int, int]) -> Optional[Tuple[int, int, int, 
                 continue
             wz = min(nz, tz + 2)
             wy = min(ny, ty + 16)
-            if 22 * wz * wy * nx * 4 > _VMEM_BUDGET:
+            if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:
@@ -172,14 +176,18 @@ def pick_tiles_df(shape: Tuple[int, int, int]) -> Optional[Tuple[int, int, int, 
 
 
 def df_residual_supported(
-    shape, dtype, interpret: bool = False, real_shape=None
+    shape, dtype, interpret: bool = False, real_shape=None, update: bool = False
 ) -> bool:
     """``real_shape``: for PADDED operation, the real problem extents
     (nz, ny_real, nx_real) with ny_real <= ny, nx_real <= nx — the
     kernel applies the face reflection/zeroing at the REAL y/x upper
     faces and zeroes the residual in the pad region, letting aligned
     padded storage serve unaligned problems (same convention as
-    ops/pallas_zc.py; z is never padded)."""
+    ops/pallas_zc.py; z is never padded).
+
+    ``update``: the pair-update-fused variant (extra e stream in, the
+    updated pair streamed out) — larger VMEM footprint, so support is
+    checked at its stream count."""
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     nz, ny, nx = shape
@@ -193,7 +201,8 @@ def df_residual_supported(
         return False  # lane-aligned dense DMA rows
     if not interpret and ny % 8 != 0:
         return False  # sublane-aligned window clamps
-    return pick_tiles_df(tuple(shape)) is not None
+    n_stream = 8 if update else 5  # full-rhs variant (worst case)
+    return pick_tiles_df(tuple(shape), n_stream) is not None
 
 
 def _clamp_shifts(v, axis: int):
@@ -298,6 +307,7 @@ def _df_kernel(
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     w_pairs, w_splits, zero_rhs: bool, bcs: BCS,
     ny_real: int | None = None, nx_real: int | None = None,
+    update: bool = False,
 ):
     # Padded storage: boundary logic keys on the REAL extents; the
     # residual is zeroed in the pad region (the work-storage invariant:
@@ -306,17 +316,46 @@ def _df_kernel(
     nx_real = nx if nx_real is None else nx_real
     pad_y = ny_real < ny
     pad_x = nx_real < nx
+    # Ref layout: inputs (uh, ul[, rh, rl][, e]), outputs (r, max
+    # [, uh', ul']), dense input buffers, bufO, bufM[, bufOH, bufOL],
+    # semaphores.
+    n_in = (2 if zero_rhs else 4) + (1 if update else 0)
+    k = 0
+    uh_hbm, ul_hbm = refs[0], refs[1]
+    k = 2
     if zero_rhs:
-        (
-            uh_hbm, ul_hbm, out_ref, max_ref,
-            bufUH, bufUL, bufO, bufM, in_sems, out_sems,
-        ) = refs
+        rh_hbm = rl_hbm = None
+    else:
+        rh_hbm, rl_hbm = refs[2], refs[3]
+        k = 4
+    e_hbm = None
+    if update:
+        e_hbm = refs[k]
+        k += 1
+    out_ref, max_ref = refs[k], refs[k + 1]
+    k += 2
+    outH_ref = outL_ref = None
+    if update:
+        outH_ref, outL_ref = refs[k], refs[k + 1]
+        k += 2
+    bufUH, bufUL = refs[k], refs[k + 1]
+    k += 2
+    if zero_rhs:
         bufRH = bufRL = None
     else:
-        (
-            uh_hbm, ul_hbm, rh_hbm, rl_hbm, out_ref, max_ref,
-            bufUH, bufUL, bufRH, bufRL, bufO, bufM, in_sems, out_sems,
-        ) = refs
+        bufRH, bufRL = refs[k], refs[k + 1]
+        k += 2
+    bufE = None
+    if update:
+        bufE = refs[k]
+        k += 1
+    bufO, bufM = refs[k], refs[k + 1]
+    k += 2
+    bufOH = bufOL = None
+    if update:
+        bufOH, bufOL = refs[k], refs[k + 1]
+        k += 2
+    in_sems, out_sems = refs[k], refs[k + 1]
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
     gy = jnp.int32(pl.num_programs(1))
@@ -335,6 +374,8 @@ def _df_kernel(
     streams = ((uh_hbm, bufUH), (ul_hbm, bufUL))
     if not zero_rhs:
         streams = streams + ((rh_hbm, bufRH), (rl_hbm, bufRL))
+    if update:
+        streams = streams + ((e_hbm, bufE),)
 
     def fetch(slot, ii, jj):
         sz, sy = window_starts(ii, jj)
@@ -350,12 +391,22 @@ def _df_kernel(
         y0 = pl.multiple_of(jj * i32(ty), 8)
         src = (slot, pl.ds(z0 - sz, tz), pl.ds(pl.multiple_of(y0 - sy, 8), ty), slice(None))
         dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
-        return [
+        dmas = [
             pltpu.make_async_copy(bufO.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
             pltpu.make_async_copy(
                 bufM.at[slot], max_ref.at[ii, jj], out_sems.at[slot, i32(1)]
             ),
         ]
+        if update:
+            dmas += [
+                pltpu.make_async_copy(
+                    bufOH.at[src], outH_ref.at[dst], out_sems.at[slot, i32(2)]
+                ),
+                pltpu.make_async_copy(
+                    bufOL.at[src], outL_ref.at[dst], out_sems.at[slot, i32(3)]
+                ),
+            ]
+        return dmas
 
     slot = lax.rem(step, i32(2))
 
@@ -398,6 +449,15 @@ def _df_kernel(
 
     uh = bufUH[slot]
     ul = bufUL[slot]
+    if update:
+        # Pair update u <- u + e fused ahead of the stencil — the exact
+        # expression sequence of the XLA df_add (TwoSum + renormalize),
+        # so the iterate is bitwise-identical to the unfused pipeline.
+        # Pad-region inputs are identically zero and stay zero.
+        t, te = _two_sum(uh, bufE[slot])
+        uh, ul = _quick_renorm(t, te + ul)
+        bufOH[slot] = uh
+        bufOL[slot] = ul
 
     Lh, Le, Ll = _df_stencil_channels(uh, ul, face_masks, w_pairs, w_splits)
     if zero_rhs:
@@ -466,6 +526,7 @@ def df_residual_3d(
     dtype=jnp.float32,
     interpret: bool = False,
     real_shape=None,
+    update: bool = False,
 ):
     """Build the double-float defect-residual callable, or None if the
     shape is unsupported.  Returns call(u_hi, u_lo[, rhs_hi, rhs_lo]) ->
@@ -476,7 +537,16 @@ def df_residual_3d(
     max|r32| (per-window maxima, broadcast into aligned tiles).
 
     ``real_shape``: padded operation on aligned work storage serving an
-    unaligned real problem (see df_residual_supported)."""
+    unaligned real problem (see df_residual_supported).
+
+    ``update``: the pair-update-fused variant — call(u_hi, u_lo
+    [, rhs_hi, rhs_lo], e32) -> (r32, max_tiles, u_hi', u_lo') applies
+    u <- u + e (exact TwoSum + renormalize, bitwise the XLA df_add)
+    IN-KERNEL before the stencil, and streams the updated pair out.
+    This folds the previous defect group's correction into the next
+    group's residual pass: the standalone 5-array df_add pass (which
+    runs at XLA's ~10%-of-HBM elementwise rate on this chip) disappears
+    from every group but the last."""
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
     if real_shape is not None:
@@ -484,11 +554,14 @@ def df_residual_3d(
         if real_shape == shape:
             real_shape = None
     if not df_residual_supported(
-        shape, dtype, interpret=interpret, real_shape=real_shape
+        shape, dtype, interpret=interpret, real_shape=real_shape, update=update
     ):
         return None
     nz, ny, nx = shape
-    tz, ty, W_z, W_y = pick_tiles_df(shape)
+    n_in = (2 if zero_rhs else 4) + (1 if update else 0)
+    n_out = 2 + (2 if update else 0)
+    n_dense_out = 1 + (2 if update else 0)
+    tz, ty, W_z, W_y = pick_tiles_df(shape, n_in + n_dense_out)
 
     # Weights as f64 -> (hi, lo) f32 pairs; hi parts Veltkamp-split for
     # the in-kernel Dekker products (python-float constants).
@@ -512,27 +585,36 @@ def df_residual_3d(
         w_pairs=w_pairs, w_splits=w_splits, zero_rhs=zero_rhs, bcs=bcs,
         ny_real=None if real_shape is None else real_shape[1],
         nx_real=None if real_shape is None else real_shape[2],
+        update=update,
     )
     grid = (nz // tz, ny // ty)
-    n_in = 2 if zero_rhs else 4
+    # Scratch order must match the kernel's ref unpacking: dense input
+    # buffers, bufO, bufM[, bufOH, bufOL], in/out semaphores.
     scratch = [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * (n_in + 1) + [
         pltpu.VMEM((2, 8, 128), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, n_in)),
-        pltpu.SemaphoreType.DMA((2, 2)),
     ]
+    if update:
+        scratch += [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * 2
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, n_in)),
+        pltpu.SemaphoreType.DMA((2, n_out)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(shape, jnp.float32),
+        jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32),
+    ]
+    if update:
+        out_shape += [jax.ShapeDtypeStruct(shape, jnp.float32)] * 2
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct(shape, jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=int(190 * nz * ny * nx),
-            bytes_accessed=int((n_in + 1) * 4 * nz * ny * nx),
+            flops=int((190 + (6 if update else 0)) * nz * ny * nx),
+            bytes_accessed=int((n_in + n_dense_out) * 4 * nz * ny * nx),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -187,6 +187,61 @@ def test_df32_padded_pair_solve(monkeypatch):
     np.testing.assert_allclose(u_df, u_64, rtol=0, atol=5e-10)
 
 
+def test_df_residual_update_fused():
+    """The pair-update-fused kernel (update=True) is bitwise the
+    composition (XLA df_add, then the plain residual kernel) in all
+    four outputs — the property that lets the driver fold the previous
+    defect group's correction into the next group's residual pass."""
+    n = 24
+    u, dq = _case(n, seed=9)
+    bcs = (("D", "D"), ("N", "N"), ("N", "D"))
+    uh, ul = dfm.df_decompose(jnp.asarray(u))
+    rng = np.random.default_rng(8)
+    e = jnp.asarray(1e-7 * rng.standard_normal((n, n, n)), jnp.float32)
+    rhs = 1e-6 * rng.standard_normal((n, n, n))
+    rh, rl = dfm.df_decompose(jnp.asarray(rhs))
+    uh2, ul2 = dfm.df_add(uh, ul, e)
+    for zero in (True, False):
+        plain = dfm.df_residual_3d(bcs, dq, (n, n, n), zero_rhs=zero, interpret=True)
+        upd = dfm.df_residual_3d(
+            bcs, dq, (n, n, n), zero_rhs=zero, interpret=True, update=True
+        )
+        assert upd is not None
+        if zero:
+            r_ref, m_ref = plain(uh2, ul2)
+            r_u, m_u, uh_u, ul_u = upd(uh, ul, e)
+        else:
+            r_ref, m_ref = plain(uh2, ul2, rh, rl)
+            r_u, m_u, uh_u, ul_u = upd(uh, ul, rh, rl, e)
+        np.testing.assert_array_equal(np.asarray(r_u), np.asarray(r_ref))
+        np.testing.assert_array_equal(np.asarray(uh_u), np.asarray(uh2))
+        np.testing.assert_array_equal(np.asarray(ul_u), np.asarray(ul2))
+        assert float(jnp.max(m_u)) == float(jnp.max(m_ref))
+
+    # padded update: bitwise the padded plain kernel after an XLA
+    # df_add, with the pad region of every output identically zero
+    pshape = (n, n, 128)
+
+    def pad(a):
+        return jnp.pad(a, [(0, p - s) for p, s in zip(pshape, a.shape)])
+
+    plain_p = dfm.df_residual_3d(
+        bcs, dq, pshape, zero_rhs=True, interpret=True, real_shape=(n, n, n)
+    )
+    upd_p = dfm.df_residual_3d(
+        bcs, dq, pshape, zero_rhs=True, interpret=True, real_shape=(n, n, n),
+        update=True,
+    )
+    assert upd_p is not None
+    r_ref, m_ref = plain_p(pad(uh2), pad(ul2))
+    r_u, m_u, uh_u, ul_u = upd_p(pad(uh), pad(ul), pad(e))
+    np.testing.assert_array_equal(np.asarray(r_u), np.asarray(r_ref))
+    np.testing.assert_array_equal(np.asarray(uh_u), np.asarray(pad(uh2)))
+    np.testing.assert_array_equal(np.asarray(ul_u), np.asarray(pad(ul2)))
+    assert np.abs(np.asarray(uh_u)[:, :, n:]).max() == 0.0
+    assert float(jnp.max(m_u)) == float(jnp.max(m_ref))
+
+
 def test_df_add_scaled_pair_update():
     rng = np.random.default_rng(7)
     u = rng.standard_normal(512)
@@ -226,6 +281,7 @@ def test_df32_solve_matches_f64_defect(monkeypatch):
     n = 24
     bvp_df, u_df, info_df = _solve_pair(n, "df32", monkeypatch)
     assert bvp_df.df_defect
+    assert bvp_df._df_upd is not None  # fused update path active
     bvp_64, u_64, info_64 = _solve_pair(n, "f64", monkeypatch)
     assert not bvp_64.df_defect
     assert info_df.ierr == 0 and info_64.ierr == 0
