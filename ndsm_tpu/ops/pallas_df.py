@@ -657,11 +657,11 @@ def _df_with_c(bcs: BCS, parts) -> bool:
 
 
 def pick_tiles_df_sharded(
-    local_shape, n_in: int, y_ext: bool
+    local_shape, n_in: int, y_ext: bool, n_dense_out: int = 1
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y) over the REAL local block; windows read the
-    halo-extended arrays.  Budget: n_in + 1 double-buffered dense
-    streams plus ~12 units of compensated-stencil temporaries (the
+    halo-extended arrays.  Budget: n_in + n_dense_out double-buffered
+    dense streams plus ~12 units of compensated-stencil temporaries (the
     measured Mosaic scoped stack of the single-device kernel)."""
     nz, ny, nx = local_shape
     best, best_frac = None, 0.0
@@ -673,7 +673,7 @@ def pick_tiles_df_sharded(
                 continue
             wz = tz + 2
             wy = ty + 16 if y_ext else min(ny, ty + 16)
-            if (2 * (n_in + 1) + 12) * wz * wy * nx * 4 > _VMEM_BUDGET:
+            if (2 * (n_in + n_dense_out) + 12) * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:
@@ -682,7 +682,8 @@ def pick_tiles_df_sharded(
 
 
 def df_sharded_supported(
-    local_shape, bcs: BCS, parts, dtype, interpret: bool = False
+    local_shape, bcs: BCS, parts, dtype, interpret: bool = False,
+    update: bool = False,
 ) -> bool:
     if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
@@ -701,28 +702,54 @@ def df_sharded_supported(
     for ax, H in df_sharded_halos(parts).items():
         if local_shape[ax] < H + 1:
             return False  # engine mirror fill needs H+1 real planes
-    # worst case stream count: rhs pair + C mask
+    # worst case stream count: rhs pair + C mask (+ e in / pair out)
     n_in = 4 + (1 if _df_with_c(tuple(tuple(b) for b in bcs), parts) else 0)
-    return pick_tiles_df_sharded(tuple(local_shape), n_in, 1 in parts) is not None
+    if update:
+        n_in += 1
+    n_dense_out = 3 if update else 1
+    return (
+        pick_tiles_df_sharded(tuple(local_shape), n_in, 1 in parts, n_dense_out)
+        is not None
+    )
 
 
 def _df_sharded_kernel(
     *refs,
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     y_ext: bool, w_pairs, w_splits, zero_rhs: bool, with_c: bool, bcs: BCS,
+    update: bool = False,
 ):
-    n_in = (2 if zero_rhs else 4) + (1 if with_c else 0)
+    # Ref layout: inputs (uh, ul[, rh, rl][, e][, C]) — all halo-extended
+    # — then outputs (r, max[, uh', ul']), dense input buffers + bufO,
+    # bufM[, bufOH, bufOL], semaphores.
+    n_in = (2 if zero_rhs else 4) + (1 if update else 0) + (1 if with_c else 0)
+    n_out = 4 if update else 2
     ins, rest = refs[:n_in], refs[n_in:]
     out_ref, max_ref = rest[0], rest[1]
-    bufs = rest[2 : 2 + n_in + 1]
-    bufM, in_sems, out_sems = rest[2 + n_in + 1], rest[-2], rest[-1]
+    outH_ref = outL_ref = None
+    if update:
+        outH_ref, outL_ref = rest[2], rest[3]
+    bufs = rest[n_out : n_out + n_in + 1]
+    k = n_out + n_in + 1
+    bufM = rest[k]
+    k += 1
+    bufOH = bufOL = None
+    if update:
+        bufOH, bufOL = rest[k], rest[k + 1]
+        k += 2
+    in_sems, out_sems = rest[k], rest[k + 1]
     bufUH, bufUL = bufs[0], bufs[1]
+    idx = 2
     if zero_rhs:
         bufRH = bufRL = None
-        bufC = bufs[2] if with_c else None
     else:
         bufRH, bufRL = bufs[2], bufs[3]
-        bufC = bufs[4] if with_c else None
+        idx = 4
+    bufE = None
+    if update:
+        bufE = bufs[idx]
+        idx += 1
+    bufC = bufs[idx] if with_c else None
     bufO = bufs[n_in]
 
     i = jnp.int32(pl.program_id(0))
@@ -759,12 +786,29 @@ def _df_sharded_kernel(
         oy = pl.multiple_of((y0 + (i32(8) if y_ext else i32(0))) - sy, 8)
         src = (slot, pl.ds(i32(1), tz), pl.ds(oy, ty), slice(None))
         dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
-        return [
+        dmas = [
             pltpu.make_async_copy(bufO.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
             pltpu.make_async_copy(
                 bufM.at[slot], max_ref.at[ii, jj], out_sems.at[slot, i32(1)]
             ),
         ]
+        if update:
+            # The updated pair ships the FULL window into the EXTENDED
+            # outputs.  Adjacent windows overlap in the halo rows, but
+            # every step computes identical values there (elementwise
+            # update of identical inputs), so overlapping in-flight
+            # writes are benign — and the union of windows covers the
+            # whole extended block exactly.
+            wdst = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
+            dmas += [
+                pltpu.make_async_copy(
+                    bufOH.at[slot], outH_ref.at[wdst], out_sems.at[slot, i32(2)]
+                ),
+                pltpu.make_async_copy(
+                    bufOL.at[slot], outL_ref.at[wdst], out_sems.at[slot, i32(3)]
+                ),
+            ]
+        return dmas
 
     slot = lax.rem(step, i32(2))
 
@@ -806,8 +850,21 @@ def _df_sharded_kernel(
             return gyy == i32(0), gyy == i32(ny - 1)
         return kx == i32(0), kx == i32(nx - 1)
 
+    uh_w = bufUH[slot]
+    ul_w = bufUL[slot]
+    if update:
+        # Pair update u <- u + e fused ahead of the stencil over the
+        # whole window (halos included: e is halo-extended by the same
+        # exchange/mirror fill, so updated halo values equal the
+        # neighbor's updated boundary — the carried-extended-pair
+        # invariant).  Bitwise the XLA df_add expression sequence.
+        t, te = _two_sum(uh_w, bufE[slot])
+        uh_w, ul_w = _quick_renorm(t, te + ul_w)
+        bufOH[slot] = uh_w
+        bufOL[slot] = ul_w
+
     Lh, Le, Ll = _df_stencil_channels(
-        bufUH[slot], bufUL[slot], face_masks, w_pairs, w_splits
+        uh_w, ul_w, face_masks, w_pairs, w_splits
     )
     if zero_rhs:
         r32 = _df_combine(Lh, Le, Ll, None, None)
@@ -872,6 +929,7 @@ def df_residual_sharded_3d(
     dtype=jnp.float32,
     interpret: bool = False,
     vma=None,
+    update: bool = False,
 ):
     """Per-shard double-float defect residual for the shard_map engine,
     or None if unsupported.
@@ -881,20 +939,32 @@ def df_residual_sharded_3d(
     per-axis depths; the engine fills neighbor planes via ppermute and
     node-mirror planes at global chain ends) and returns (r32,
     max_tiles) over the REAL local block, exactly like df_residual_3d.
-    Argument order: (uh_ext, ul_ext[, rh_ext, rl_ext][, C_ext]) — the C
-    mask-code stream is present iff a partitioned axis has a Dirichlet
-    face (see _df_with_c).  ``vma`` declares the mesh axes the outputs
-    vary over (shard_map's vma type system)."""
+    Argument order: (uh_ext, ul_ext[, rh_ext, rl_ext][, e_ext][, C_ext])
+    — the C mask-code stream is present iff a partitioned axis has a
+    Dirichlet face (see _df_with_c).  ``vma`` declares the mesh axes the
+    outputs vary over (shard_map's vma type system).
+
+    ``update``: the pair-update-fused variant — takes the previous
+    group's correction e HALO-EXTENDED, applies u <- u + e over the
+    whole extended window (bitwise the XLA df_add) and appends the
+    updated EXTENDED pair to the outputs: (r32, max_tiles, uh_ext',
+    ul_ext').  With the pair carried extended across defect groups this
+    drops the per-group exchanges from two (uh, ul) to ONE (e) and
+    removes the local df_add pass entirely."""
     bcs = tuple(tuple(b) for b in bcs)
     parts = tuple(parts)
     local_shape = tuple(int(s) for s in local_shape)
-    if not df_sharded_supported(local_shape, bcs, parts, dtype, interpret=interpret):
+    if not df_sharded_supported(
+        local_shape, bcs, parts, dtype, interpret=interpret, update=update
+    ):
         return None
     nz, ny, nx = local_shape
     y_ext = 1 in parts
     with_c = _df_with_c(bcs, parts)
-    n_in = (2 if zero_rhs else 4) + (1 if with_c else 0)
-    tiles = pick_tiles_df_sharded(local_shape, n_in, y_ext)
+    n_in = (2 if zero_rhs else 4) + (1 if update else 0) + (1 if with_c else 0)
+    n_out = 4 if update else 2
+    n_dense_out = 3 if update else 1
+    tiles = pick_tiles_df_sharded(local_shape, n_in, y_ext, n_dense_out)
     if tiles is None:
         return None
     tz, ty, W_z, W_y = tiles
@@ -917,7 +987,7 @@ def df_residual_sharded_3d(
         _df_sharded_kernel,
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         y_ext=y_ext, w_pairs=w_pairs, w_splits=w_splits,
-        zero_rhs=zero_rhs, with_c=with_c, bcs=bcs,
+        zero_rhs=zero_rhs, with_c=with_c, bcs=bcs, update=update,
     )
     grid = (nz // tz, ny // ty)
 
@@ -930,22 +1000,30 @@ def df_residual_sharded_3d(
 
     scratch = [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * (n_in + 1) + [
         pltpu.VMEM((2, 8, 128), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, n_in)),
-        pltpu.SemaphoreType.DMA((2, 2)),
     ]
+    if update:
+        scratch += [pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * 2
+    scratch += [
+        pltpu.SemaphoreType.DMA((2, n_in)),
+        pltpu.SemaphoreType.DMA((2, n_out)),
+    ]
+    ext_shape = (nz + 2, ny + (16 if y_ext else 0), nx)
+    out_shape = [
+        _shaped(local_shape),
+        _shaped((grid[0], grid[1], 8, 128)),
+    ]
+    if update:
+        out_shape += [_shaped(ext_shape)] * 2
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_shape=[
-            _shaped(local_shape),
-            _shaped((grid[0], grid[1], 8, 128)),
-        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=int(190 * nz * ny * nx),
-            bytes_accessed=int((n_in + 1) * 4 * nz * ny * nx),
+            flops=int((190 + (6 if update else 0)) * nz * ny * nx),
+            bytes_accessed=int((n_in + n_dense_out) * 4 * nz * ny * nx),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -242,6 +242,16 @@ class ShardStencilKernels:
             v = jnp.concatenate([lo, v, hi], axis=ax)
         return v
 
+    def _unextend_block(self, v, H_map):
+        """Slice the REAL local block out of a halo-extended one (the
+        inverse of _extend_block)."""
+        sl = [slice(None)] * v.ndim
+        for ax, _ in self.parts:
+            H = H_map.get(ax, 0)
+            if H:
+                sl[ax] = slice(H, v.shape[ax] - H)
+        return v[tuple(sl)]
+
     def _zc_mask_code(self, shape, level):
         """Local mask-code block for the sharded zc kernel: 2.0 on
         Dirichlet-face points (global-index tests), 0.0 elsewhere."""
@@ -494,6 +504,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
         # semantics as PoissonBVP's df path (mg/poisson.py:147-187).
         self._df = False
         self._df_res = self._df_res_zero = None
+        self._df_upd = self._df_upd_zero = None
         md = getattr(options, "mixed_defect", "auto")
         if md not in ("auto", "f64", "df32"):
             raise ValueError(f"unknown mixed_defect {md!r}")
@@ -530,6 +541,18 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 self._df_res_zero = pallas_df.df_residual_sharded_3d(
                     self.bcs, hierarchy.dq[0], local, parts_ax,
                     zero_rhs=True, interpret=interp, vma=vma,
+                )
+                # Update-fused variants (may be None under the larger
+                # VMEM footprint): with the pair carried halo-extended
+                # across defect groups, each group exchanges ONE array
+                # (e) instead of two and pays no local df_add pass.
+                self._df_upd = pallas_df.df_residual_sharded_3d(
+                    self.bcs, hierarchy.dq[0], local, parts_ax,
+                    zero_rhs=False, interpret=interp, vma=vma, update=True,
+                )
+                self._df_upd_zero = pallas_df.df_residual_sharded_3d(
+                    self.bcs, hierarchy.dq[0], local, parts_ax,
+                    zero_rhs=True, interpret=interp, vma=vma, update=True,
                 )
                 self._df = self._df_res is not None
                 self._df_with_c = pallas_df._df_with_c(self.bcs, parts_ax)
@@ -852,31 +875,52 @@ class ShardedPoissonBVP(ShardStencilKernels):
         return u_new, noconv, du_of(du_e), k
 
     def _mixed_group_df(
-        self, uh, ul, rhsp_ext, C_ext, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
+        self, uhx, ulx, e_prev, rhsp_ext, C_ext, ex_tol, nmax_exact, vc_tol,
+        it, nmax, inner_max,
     ):
         """``_mixed_group`` with the shard's outer state as an (hi, lo)
-        f32 pair and the defect from the per-shard double-float Pallas
-        kernel over halo-extended blocks — ONE deep exchange per defect,
-        ~2^-48 outer precision, inner V-cycles on the UNSCALED defect
-        with the eps32 coarse floor scaled by the global max|r| (from
-        the kernel's in-window max tiles; see PoissonBVP._mixed_group_df).
+        f32 pair carried HALO-EXTENDED across groups — ~2^-48 outer
+        precision, inner V-cycles on the UNSCALED defect with the eps32
+        coarse floor scaled by the global max|r| (from the kernel's
+        in-window max tiles; see PoissonBVP._mixed_group_df).
         ``rhsp_ext`` / ``C_ext`` are loop-invariant extended blocks the
-        caller builds once per solve."""
+        caller builds once per solve.
+
+        Pending-correction flow: ``e_prev`` (previous group's REAL-block
+        correction, or None for the first group) is halo-extended — ONE
+        exchange, vs two for re-extending the pair — and applied to the
+        extended pair inside the update-fused kernel (bitwise the XLA
+        df_add; extended halos update consistently because e's halos are
+        the neighbors' boundaries / mirrors).  The group's own
+        correction returns UNAPPLIED; the driver applies the final one
+        on the real block."""
         from ..ops.pallas_df import df_add
 
         H_map = self._df_H_map
-        args = [
-            self._extend_block(uh, 0, H_map),
-            self._extend_block(ul, 0, H_map),
-        ]
-        if rhsp_ext is not None:
-            args += [rhsp_ext[0], rhsp_ext[1]]
-            call = self._df_res
-        else:
-            call = self._df_res_zero
-        if C_ext is not None:
-            args.append(C_ext)
-        r32, mx = call(*args)
+        if e_prev is not None:
+            upd = self._df_upd_zero if rhsp_ext is None else self._df_upd
+            e_ext = self._extend_block(e_prev, 0, H_map)
+            if upd is None:
+                uhx, ulx = df_add(uhx, ulx, e_ext)
+                e_prev = None
+            else:
+                args = [uhx, ulx]
+                if rhsp_ext is not None:
+                    args += [rhsp_ext[0], rhsp_ext[1]]
+                args.append(e_ext)
+                if C_ext is not None:
+                    args.append(C_ext)
+                r32, mx, uhx, ulx = upd(*args)
+        if e_prev is None:
+            args = [uhx, ulx]
+            if rhsp_ext is not None:
+                args += [rhsp_ext[0], rhsp_ext[1]]
+                call = self._df_res
+            else:
+                call = self._df_res_zero
+            if C_ext is not None:
+                args.append(C_ext)
+            r32, mx = call(*args)
         s = lax.pmax(jnp.max(mx), self.names)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, (eps32 * s).astype(ex_tol.dtype))
@@ -906,21 +950,23 @@ class ShardedPoissonBVP(ShardStencilKernels):
             e32, du_e, k, noconv = body(init)
         else:
             e32, du_e, k, noconv = lax.while_loop(cond, body, init)
-        uh, ul = df_add(uh, ul, e32)
-        return uh, ul, noconv, du_of(du_e), k
+        return uhx, ulx, e32, noconv, du_of(du_e), k
 
     def _local_solve_df(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         """``_local_solve`` in double-float defect mode: the iterate is
         carried as an f32 pair per shard; ``rhs`` may be None (zero-rhs
         kernel variant).  The rhs pair and the Dirichlet mask code are
         extended once here (loop-invariant)."""
-        from ..ops.pallas_df import df_decompose, df_reconstruct
+        from ..ops.pallas_df import df_add, df_decompose, df_reconstruct
 
         H_map = self._df_H_map
         vc_tol = vc_tol.astype(self.dtype)
-        big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
         inner_max = max(1, int(getattr(self.options, "mixed_inner_max", 6)))
         uh0, ul0 = df_decompose(u0.astype(self.dtype))
+        # The pair is carried HALO-EXTENDED across defect groups (one
+        # initial two-array exchange; each later group exchanges only e).
+        uhx = self._extend_block(uh0, 0, H_map)
+        ulx = self._extend_block(ul0, 0, H_map)
         if rhs is None:
             rhsp_ext = None
         else:
@@ -936,19 +982,28 @@ class ShardedPoissonBVP(ShardStencilKernels):
             )
 
         def cond(c):
-            _, _, du, it, _ = c
+            _, _, _, du, it, _ = c
             return jnp.logical_and(it < nmax, du >= vc_tol)
 
         def body(c):
-            uh, ul, _, it, flag = c
-            uh, ul, noconv, du, ncyc = self._mixed_group_df(
-                uh, ul, rhsp_ext, C_ext, ex_tol, nmax_exact,
+            uhx, ulx, e, _, it, flag = c
+            uhx, ulx, e, noconv, du, ncyc = self._mixed_group_df(
+                uhx, ulx, e, rhsp_ext, C_ext, ex_tol, nmax_exact,
                 vc_tol, it, nmax, inner_max,
             )
-            return (uh, ul, du, it + ncyc, flag | noconv)
+            return (uhx, ulx, e, du, it + ncyc, flag | noconv)
 
-        init = (uh0, ul0, big, jnp.int32(0), self._vary(jnp.asarray(False)))
-        uh, ul, du, it, flag = lax.while_loop(cond, body, init)
+        # First group (no pending correction), then the fused loop; the
+        # final correction is applied once on the real block after exit.
+        uhx, ulx, e, noconv0, du0, k0 = self._mixed_group_df(
+            uhx, ulx, None, rhsp_ext, C_ext, ex_tol, nmax_exact,
+            vc_tol, jnp.int32(0), nmax, inner_max,
+        )
+        init = (uhx, ulx, e, du0, jnp.asarray(k0, jnp.int32), noconv0)
+        uhx, ulx, e, du, it, flag = lax.while_loop(cond, body, init)
+        uh = self._unextend_block(uhx, H_map)
+        ul = self._unextend_block(ulx, H_map)
+        uh, ul = df_add(uh, ul, e)
         u = df_reconstruct(uh, ul, self.dtype)
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(
             jnp.int32

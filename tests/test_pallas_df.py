@@ -363,6 +363,7 @@ def test_sharded_df_defect_interpret(monkeypatch, axes, bcs):
         h, bcs, opts, mesh=mesh, axis_names=names, min_rows_per_shard=2
     )
     assert sp.df_defect
+    assert sp._df_upd is not None  # update-fused (1-exchange) group path
     u_df, info_df = sp.solve(u0, rhs)
 
     monkeypatch.delenv("NDSM_TPU_PALLAS")
