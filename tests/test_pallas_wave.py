@@ -1,8 +1,11 @@
 """z-wavefront Pallas smoother (ops/pallas_wave.py): interpreter-mode
 differential tests against the XLA masked sweep.  The wavefront kernel
 is a measured-slower alternative to the color-compact kernel on the
-current toolchain (per-plane op overhead dominates; PERF_NOTES.md
-round 2) and is selectable via NDSM_TPU_PALLAS_KERNEL=wave."""
+current toolchain (per-plane DMA/op overhead dominates; PERF_NOTES.md
+round 2), so it is NOT wired into the engine dispatch — it is kept as
+a standalone, correctness-pinned formulation for toolchains where
+per-plane overhead shrinks (its HBM traffic bound, (3R+1W)/nsweeps
+arrays per sweep, beats the windowed kernels at nsweeps >= 3)."""
 
 import jax
 import jax.numpy as jnp
