@@ -949,6 +949,13 @@ class MultiBCSolver:
         uh, ul, e, du, it, flag = lax.while_loop(cond, body, init)
         uh, ul = df_add(uh, ul, e)
         u = self._unpad0(df_reconstruct(uh, ul, self.outer_dtype))
+        # nmax < 1 contract: no cycles run, u0 returned untouched.
+        ran = nmax >= 1
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, self.outer_dtype)
+        u = jnp.where(ran, u, u0.astype(self.outer_dtype))
+        du = jnp.where(ran, du, jnp.full_like(du, big))
+        it = jnp.where(ran, it, jnp.zeros_like(it))
+        flag = jnp.logical_and(flag, ran)
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         return u, du, it, ierr, flag
 

@@ -453,6 +453,15 @@ class PoissonBVP:
         uh, ul, e, du, it, hist, flag = lax.while_loop(cond, body, init)
         uh, ul = df_add(uh, ul, e)
         u = self._inner.t_unpad0(df_reconstruct(uh, ul, self.outer_dtype))
+        # nmax < 1 contract (reference DO-loop semantics): no cycles run,
+        # u0 returned untouched — the unconditional first group above is
+        # discarded here.
+        ran = nmax >= 1
+        u = jnp.where(ran, u, u0.astype(self.outer_dtype))
+        big = jnp.asarray(jnp.finfo(self.outer_dtype).max, self.outer_dtype)
+        du = jnp.where(ran, du, big)
+        it = jnp.where(ran, it, jnp.int32(0))
+        flag = jnp.logical_and(flag, ran)
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(jnp.int32)
         if with_hist:
             return u, du, it, ierr, hist, flag

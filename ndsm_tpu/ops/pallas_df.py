@@ -319,7 +319,6 @@ def _df_kernel(
     # Ref layout: inputs (uh, ul[, rh, rl][, e]), outputs (r, max
     # [, uh', ul']), dense input buffers, bufO, bufM[, bufOH, bufOL],
     # semaphores.
-    n_in = (2 if zero_rhs else 4) + (1 if update else 0)
     k = 0
     uh_hbm, ul_hbm = refs[0], refs[1]
     k = 2

@@ -1005,6 +1005,13 @@ class ShardedPoissonBVP(ShardStencilKernels):
         ul = self._unextend_block(ulx, H_map)
         uh, ul = df_add(uh, ul, e)
         u = df_reconstruct(uh, ul, self.dtype)
+        # nmax < 1 contract: no cycles run, u0 returned untouched.
+        ran = nmax >= 1
+        big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
+        u = jnp.where(ran, u, u0.astype(self.dtype))
+        du = jnp.where(ran, du, big)
+        it = jnp.where(ran, it, jnp.int32(0))
+        flag = jnp.logical_and(flag, ran)
         ierr = jnp.where(du < vc_tol, IERR_SUCCESS, IERR_COVFAIL).astype(
             jnp.int32
         )

@@ -74,11 +74,6 @@ def _timed(fn, *args):
     return out, min(ts)
 
 
-def solve_once(bvp, u0):
-    u, info = bvp.solve(u0, None, zero_rhs=True, donate=False)
-    return u, info
-
-
 def bench_single(n):
     print(f"== single mixed solve, {n}^3, component BCs (Az) ==", flush=True)
     x = np.linspace(0, 1, n)

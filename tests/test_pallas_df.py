@@ -313,6 +313,27 @@ def test_df32_history_semantics(monkeypatch):
     assert hist[info.cycles - 1] < 1e-8
 
 
+def test_df32_ncycles_max_zero_returns_u0(monkeypatch):
+    """ncycles_max=0 in df mode: no cycles run, u0 comes back untouched
+    with ierr=COVFAIL (the reference's DO-loop contract) — the
+    pending-correction driver's unconditional first group is discarded."""
+    n = 16
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("N", "N"))
+    rng = np.random.default_rng(4)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = rng.standard_normal((n, n, n))
+    opts = Options(precision="mixed", ncycles_max=0, mixed_defect="df32")
+    bvp = PoissonBVP(h, bcs, opts)
+    assert bvp.df_defect
+    u, info = bvp.solve(u0, rhs)
+    assert info.ierr != 0 and info.cycles == 0
+    np.testing.assert_array_equal(np.asarray(u), u0)
+
+
 def test_df_gates_off_all_neumann_and_2d(monkeypatch):
     monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
     monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
