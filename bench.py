@@ -267,4 +267,25 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — driver needs ONE JSON line
+        if isinstance(e, SystemExit):
+            raise
+        import traceback
+
+        traceback.print_exc()
+        n = os.environ.get("NDSM_BENCH_N", "220")
+        print(
+            json.dumps(
+                {
+                    "metric": f"vector_potential_{n}^3_wall_clock",
+                    "value": -1.0,
+                    "unit": "s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(2)
