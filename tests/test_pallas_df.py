@@ -334,6 +334,47 @@ def test_df32_ncycles_max_zero_returns_u0(monkeypatch):
     np.testing.assert_array_equal(np.asarray(u), u0)
 
 
+def test_df32_checkpointed_matches_uninterrupted(monkeypatch, tmp_path):
+    """solve_checkpointed in df32 mode (strict inner_max=1 groups
+    through the pending-correction driver): every chunk boundary sees a
+    complete iterate (the final df_add runs before each chunk returns),
+    so chunked and uninterrupted solves agree and resume is exact."""
+    n = 16
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("N", "N"))
+    rng = np.random.default_rng(6)
+    rhs = rng.standard_normal((n, n, n))
+    opts = Options(
+        precision="mixed", vc_tol=1e-9, ncycles_max=40, mixed_defect="df32"
+    )
+    bvp = PoissonBVP(h, bcs, opts)
+    assert bvp.df_defect
+    ck = str(tmp_path / "df_state.npz")
+    u_ck, info_ck = bvp.solve_checkpointed(
+        np.zeros_like(rhs), rhs, checkpoint_path=ck, checkpoint_every=3
+    )
+    assert info_ck.ierr == 0
+    # uninterrupted solve with the same strict (inner_max=1) schedule
+    import dataclasses as _dc
+
+    bvp1 = PoissonBVP(h, bcs, _dc.replace(opts, mixed_inner_max=1))
+    u_ref, info_ref = bvp1.solve(np.zeros_like(rhs), rhs)
+    assert info_ref.ierr == 0
+    # chunking re-decomposes the pair at each boundary; agreement is at
+    # pair precision of the iterate scale, far below vc_tol
+    d = np.abs(np.asarray(u_ck) - np.asarray(u_ref)).max()
+    assert d < 1e-10, d
+    # resume: already converged, no extra cycles
+    u2, info2 = bvp.solve_checkpointed(
+        np.zeros_like(rhs), rhs, checkpoint_path=ck, checkpoint_every=3
+    )
+    assert info2.cycles == info_ck.cycles
+    np.testing.assert_array_equal(np.asarray(u2), np.asarray(u_ck))
+
+
 def test_df_gates_off_all_neumann_and_2d(monkeypatch):
     monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
     monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
