@@ -1,0 +1,37 @@
+#!/bin/bash
+# Round-4 TPU measurement queue — run when the axon tunnel is back.
+# Serial (ONE TPU process at a time), generous timeouts, continue on
+# failure, everything logged under r4_logs/.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p r4_logs
+
+step() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name (timeout ${tmo}s) ==="
+  timeout "$tmo" "$@" >"r4_logs/$name.log" 2>&1
+  echo "    exit=$? (log: r4_logs/$name.log)"
+}
+
+# 0. probe
+step probe 180 python3 -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.sum(jnp.ones((8,128)))))"
+grep -q "8.0\|1024" r4_logs/probe.log || { echo "TPU not available; aborting"; exit 1; }
+
+# 1. round-4 micro/solve measurements (df fused vs unfused vs f64;
+#    batched vs sequential) at 256 and the 220 headline size
+step perf_256 2400 python3 scripts/perf_r4.py 256
+step perf_220 2400 python3 scripts/perf_r4.py 220
+
+# 2. golden-gated benches at the df32-affected sizes + headline
+NDSM_BENCH_TIMEOUT=2100 NDSM_BENCH_THROUGHPUT=0 NDSM_BENCH_N=160 step bench_160 2200 python3 bench.py
+NDSM_BENCH_TIMEOUT=2100 NDSM_BENCH_THROUGHPUT=0 NDSM_BENCH_N=176 step bench_176 2200 python3 bench.py
+NDSM_BENCH_TIMEOUT=2700 NDSM_BENCH_REPS=2       NDSM_BENCH_N=220 step bench_220 2800 python3 bench.py
+
+# 3. 512^3 (BASELINE config 4) incl. the 512^3 smoother SoL measurement
+NDSM_BENCH_TIMEOUT=3000 NDSM_BENCH_N=512 step bench_512 3100 python3 bench.py
+
+# 4. golden digits, both metrics, at 160/176/220 (reference table rows)
+step digits_max  5400 python3 examples/integration_scaling.py --scales 7.3 8 10 --out r4_logs/rows_max.txt
+step digits_mean 5400 python3 examples/integration_scaling.py --mean --scales 7.3 8 10 --out r4_logs/rows_mean.txt
+
+echo "=== runbook complete; see r4_logs/ ==="
