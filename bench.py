@@ -180,10 +180,19 @@ def main():
     Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
     A1, b1 = potential_field_case(X, Y, Z)
 
+    # host_curl: compute B = curl(A) host-side from the downloaded A
+    # (ulp-identical; halves the result download — decisive through the
+    # tunnel, where the download is most of the wall).  NDSM_BENCH_HOST_CURL=0
+    # restores the all-device path.
+    from ndsm_tpu import Options
+
+    host_curl = os.environ.get("NDSM_BENCH_HOST_CURL", "1") != "0"
+    opts = Options(precision=precision, host_curl=host_curl)
+
     # Warmup (includes compilation)
     t0 = time.perf_counter()
     ierr, A2, b2, winfo = vector_potential(
-        x, y, z, b1.copy(), precision=precision, full_output=True
+        x, y, z, b1.copy(), options=opts, full_output=True
     )
     warm = time.perf_counter() - t0
     print(f"warmup (incl. compile): {warm:.2f}s ierr={ierr}", file=sys.stderr)
@@ -193,7 +202,7 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         ierr, A2, b2, info = vector_potential(
-            x, y, z, b1.copy(), precision=precision, full_output=True
+            x, y, z, b1.copy(), options=opts, full_output=True
         )
         times.append(time.perf_counter() - t0)
     wall = min(times)
@@ -252,6 +261,7 @@ def main():
         "ea_max": ea_max,
         "eb_max": eb_max,
         "precision": precision,
+        "host_curl": host_curl,
         "ref_time_extrapolated": ref_extrapolated,
     }
     if do_tp:

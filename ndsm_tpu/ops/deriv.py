@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["deriv_axis", "curl"]
+__all__ = ["deriv_axis", "curl", "deriv_axis_np", "curl_np"]
 
 
 def _sl(u: jax.Array, axis: int, lo: int, hi) -> jax.Array:
@@ -60,3 +60,59 @@ def curl(A: jax.Array, dq: jax.Array) -> jax.Array:
     dAy_dx = deriv_axis(Ay, dx, -1)
     dAx_dy = deriv_axis(Ax, dy, -2)
     return jnp.stack([dAz_dy - dAy_dz, dAx_dz - dAz_dx, dAy_dx - dAx_dy])
+
+
+# ----------------------------------------------------------------------
+# Host (numpy) mirrors — same expression sequences, ulp-level agreement.
+#
+# Why these exist: B = curl(A) is the last pipeline stage and, under the
+# default flux-correction order, is a pure function of the RETURNED A.
+# On hosts whose device link is slow relative to host memory bandwidth
+# (e.g. tunneled runtimes at ~25 MB/s download), shipping B (same bytes
+# as A again) dwarfs the whole solve; computing the curl on the host
+# from the already-downloaded A halves the result traffic.  The operand
+# order matches the XLA forms exactly, but XLA fuses multiply-adds into
+# FMAs (single rounding), so agreement is at the ~1-2 ulp level
+# (measured max 2.5e-14 relative; tests/test_potential.py pins 1e-13) —
+# eight orders below the h^2 truncation error of the returned fields.
+# ----------------------------------------------------------------------
+
+
+def deriv_axis_np(u, h, axis: int):
+    """numpy mirror of :func:`deriv_axis` — identical operand order."""
+    import numpy as _np
+
+    u = _np.asarray(u)
+    inv2h = _np.asarray(0.5 / _np.asarray(h), dtype=u.dtype)
+
+    def sl(lo, hi):
+        n = u.shape[axis]
+        if hi is None:
+            hi = n
+        elif hi < 0:
+            hi = n + hi
+        idx = [slice(None)] * u.ndim
+        idx[axis] = slice(lo, hi)
+        return u[tuple(idx)]
+
+    interior = (sl(2, None) - sl(0, -2)) * inv2h
+    lo = (-3.0 * sl(0, 1) + 4.0 * sl(1, 2) - sl(2, 3)) * inv2h
+    n = u.shape[axis]
+    hi = (3.0 * sl(n - 1, n) - 4.0 * sl(n - 2, n - 1) + sl(n - 3, n - 2)) * inv2h
+    return _np.concatenate([lo, interior, hi], axis=axis)
+
+
+def curl_np(A, dq):
+    """numpy mirror of :func:`curl` — identical component expressions."""
+    import numpy as _np
+
+    A = _np.asarray(A)
+    Ax, Ay, Az = A[0], A[1], A[2]
+    dx, dy, dz = dq[0], dq[1], dq[2]
+    dAz_dy = deriv_axis_np(Az, dy, -2)
+    dAy_dz = deriv_axis_np(Ay, dz, -3)
+    dAx_dz = deriv_axis_np(Ax, dz, -3)
+    dAz_dx = deriv_axis_np(Az, dx, -1)
+    dAy_dx = deriv_axis_np(Ay, dx, -1)
+    dAx_dy = deriv_axis_np(Ax, dy, -2)
+    return _np.stack([dAz_dy - dAy_dz, dAx_dz - dAz_dx, dAy_dx - dAx_dy])

@@ -46,6 +46,16 @@ class Options:
         vector potential first and then takes the numerical curl;
         1 takes the curl first and adds both analytic corrections
         (reference IOPT_FLXCRL; ndsm_vector_potential.f90:453-477).
+      host_curl: compute B = curl(A) on the HOST (numpy) from the
+        downloaded A instead of on-device — same expressions, agreement
+        at the 1-2 ulp level (XLA fuses FMAs; ~1e-14 relative, eight
+        orders below the fields' h^2 truncation error) and HALF the
+        result download.  Worth it when the host<->device link is slow
+        relative to host memory bandwidth (e.g. tunneled runtimes);
+        counterproductive on a local PCIe host, hence default off.
+        Honored only for flux_correction_order=0 (the default, where B
+        is a pure function of the returned A), float64 outputs, and
+        non-distributed runs; otherwise the device path is used.
       per_face: solve the 3D BVPs one face at a time and sum (the
         reference's IOPT_FACE1 path is dead code due to a constant SELECT
         CASE — quirk Q1 in SURVEY.md; here the flag actually works).
@@ -112,6 +122,7 @@ class Options:
     debug: bool = False
     precision: str = "auto"
     flux_correction_order: int = 0
+    host_curl: bool = False
     per_face: bool = False
     honor_ms_for_az: bool = True
     reference_flux_quirk: bool = False

@@ -396,17 +396,42 @@ def compute_vector_potential(
     # ------------------------------------------------------------------
     _dbg(options, "Compute B = curl(A) and flux correction...")
     out_dtype = jnp.dtype(getattr(options, "output_dtype", "float64")).name
-    A, B = _phase_post(
-        A,
-        phi,
-        jnp.asarray(x, dtype=dtype),
-        jnp.asarray(y, dtype=dtype),
-        jnp.asarray(z, dtype=dtype),
-        tuple(float(v) for v in Lq),
-        tuple(float(v) for v in dq),
-        int(options.flux_correction_order),
-        out_dtype,
+    host_curl = (
+        bool(getattr(options, "host_curl", False))
+        and int(options.flux_correction_order) == 0
+        and out_dtype == "float64"
+        and dist is None
     )
+    if host_curl:
+        # Order 0: B = curl(final A) exactly, so compute it on the host
+        # from the A we download anyway — ulp-identical to the device
+        # result (ops/deriv.curl_np) at HALF the result traffic.
+        # Decisive on slow links (tunneled runtimes); Options.host_curl.
+        from ..ops.deriv import curl_np
+
+        A = _phase_post_acorr(
+            A,
+            phi,
+            jnp.asarray(x, dtype=dtype),
+            jnp.asarray(y, dtype=dtype),
+            jnp.asarray(z, dtype=dtype),
+            tuple(float(v) for v in Lq),
+            out_dtype,
+        )
+        A = np.asarray(A)
+        B = curl_np(A, tuple(float(v) for v in dq))
+    else:
+        A, B = _phase_post(
+            A,
+            phi,
+            jnp.asarray(x, dtype=dtype),
+            jnp.asarray(y, dtype=dtype),
+            jnp.asarray(z, dtype=dtype),
+            tuple(float(v) for v in Lq),
+            tuple(float(v) for v in dq),
+            int(options.flux_correction_order),
+            out_dtype,
+        )
 
     ierr = max([s.ierr for s in chi_info] + [s.ierr for s in comp_info])
     info = VectorPotentialInfo(
@@ -507,6 +532,17 @@ def _phase_at_u0(chi, hs, signs, vol_shape, active_face, dtype):
             u0 = u0.at[F.face_volume_index(f, vol_shape)].set(data)
         u0s.append(u0)
     return tuple(u0s)
+
+
+@_partial(jax.jit, static_argnames=("Lq", "out_dtype"))
+def _phase_post_acorr(A, phi, xs, ys, zs, Lq, out_dtype):
+    """Order-0 flux-balance A correction WITHOUT the curl — the device
+    side of the host-curl split (Options.host_curl): B = curl(A) is then
+    a pure host-side function of this A."""
+    _, A = _add_flux_balance_fields((xs, ys, zs), Lq, phi, None, A)
+    if out_dtype is not None:
+        A = A.astype(out_dtype)
+    return A
 
 
 @_partial(jax.jit, static_argnames=("Lq", "dq", "order", "out_dtype"))

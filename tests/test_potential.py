@@ -97,6 +97,56 @@ def test_curl_of_analytic_potential():
     assert np.abs(B - b).max() < 0.05
 
 
+def test_host_curl_ulp_identical():
+    """ops/deriv.curl_np matches the XLA curl at the ulp level (same
+    expression order; XLA fuses FMAs) — the invariant behind
+    Options.host_curl.  Bound: 1e-13 relative of the field scale,
+    eight orders below the h^2 truncation error."""
+    from ndsm_tpu.ops.deriv import curl_np
+
+    rng = np.random.default_rng(11)
+    A = rng.standard_normal((3, 13, 17, 21))
+    dq = (0.013, 0.017, 0.021)
+    B_dev = np.asarray(curl(A, np.asarray(dq)))
+    B_host = curl_np(A, dq)
+    scale = np.abs(B_dev).max()
+    assert np.abs(B_host - B_dev).max() < 1e-13 * scale
+
+
+def test_host_curl_pipeline_identical():
+    """vector_potential with Options.host_curl=True returns the default
+    path's (A, B): A bitwise (identical device computation), B at the
+    ulp level, under the default flux-correction order."""
+    import dataclasses as _dc
+
+    from ndsm_tpu import Options, vector_potential
+
+    n = 22
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    _, b = potential_field_case(X, Y, Z)
+    opts = Options(precision="mixed")
+    ierr0, A0, B0 = vector_potential(x, x, x, b, options=opts)
+    ierr1, A1, B1 = vector_potential(
+        x, x, x, b, options=_dc.replace(opts, host_curl=True)
+    )
+    assert ierr0 == ierr1 == 0
+    np.testing.assert_array_equal(A1, A0)
+    scale = np.abs(B0).max()
+    assert np.abs(B1 - B0).max() < 1e-13 * scale
+    assert isinstance(B1, np.ndarray)
+    # order 1 ignores the flag (falls back to the device path)
+    ierr2, A2, B2 = vector_potential(
+        x, x, x, b,
+        options=_dc.replace(opts, host_curl=True, flux_correction_order=1),
+    )
+    assert ierr2 == 0
+    # golden digits are insensitive to the ulp-level B difference
+    Eb0 = np.linalg.norm(b - B0, axis=0).max()
+    Eb1 = np.linalg.norm(b - B1, axis=0).max()
+    assert f"{Eb0:.5e}" == f"{Eb1:.5e}"
+
+
 def test_trapz_2d():
     nx, ny = 31, 41
     x = np.linspace(0, 2, nx)
