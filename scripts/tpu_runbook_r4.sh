@@ -17,6 +17,9 @@ step() {
 step probe 180 python3 -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.sum(jnp.ones((8,128)))))"
 grep -q "8.0\|1024" r4_logs/probe.log || { echo "TPU not available; aborting"; exit 1; }
 
+# 0b. transfer characterization (threaded vs serial download)
+step transfer 900 python3 scripts/transfer_probe.py 220
+
 # 1. round-4 micro/solve measurements (df fused vs unfused vs f64;
 #    batched vs sequential) at 256 and the 220 headline size
 step perf_256 2400 python3 scripts/perf_r4.py 256
