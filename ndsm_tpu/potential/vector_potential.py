@@ -418,7 +418,21 @@ def compute_vector_potential(
             tuple(float(v) for v in Lq),
             out_dtype,
         )
-        A = np.asarray(A)
+        # Download the three components on concurrent streams: relays
+        # that cap per-stream throughput (this container's ~25 MB/s)
+        # aggregate across connections; on a fast local link this is a
+        # harmless 3-way device_get.
+        import concurrent.futures as _cf
+
+        comps = [A[i] for i in range(3)]
+        host = np.empty((3,) + tuple(comps[0].shape), dtype=out_dtype)
+
+        def _fetch(i):
+            host[i] = np.asarray(comps[i])
+
+        with _cf.ThreadPoolExecutor(3) as _ex:
+            list(_ex.map(_fetch, range(3)))
+        A = host
         B = curl_np(A, tuple(float(v) for v in dq))
     else:
         A, B = _phase_post(
