@@ -37,4 +37,7 @@ NDSM_BENCH_TIMEOUT=3000 NDSM_BENCH_N=512 step bench_512 3100 python3 bench.py
 step digits_max  5400 python3 examples/integration_scaling.py --scales 7.3 8 10 --out r4_logs/rows_max.txt
 step digits_mean 5400 python3 examples/integration_scaling.py --mean --scales 7.3 8 10 --out r4_logs/rows_mean.txt
 
+step digits_diff_max 60 python3 scripts/compare_golden.py r4_logs/rows_max.txt /root/reference/tests/integration_test/results_test1.txt
+step digits_diff_mean 60 python3 scripts/compare_golden.py r4_logs/rows_mean.txt /root/reference/tests/integration_test/results_test2.txt
+
 echo "=== runbook complete; see r4_logs/ ==="
