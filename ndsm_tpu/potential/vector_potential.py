@@ -418,20 +418,34 @@ def compute_vector_potential(
             tuple(float(v) for v in Lq),
             out_dtype,
         )
-        # Download the three components on concurrent streams: relays
-        # that cap per-stream throughput (this container's ~25 MB/s)
-        # aggregate across connections; on a fast local link this is a
-        # harmless 3-way device_get.
+        # Download on concurrent streams: relays that cap per-stream
+        # throughput (this container's ~25 MB/s) aggregate across
+        # connections; on a fast local link this is a harmless parallel
+        # device_get.  Each component splits into z-slabs so the stream
+        # count (NDSM_TPU_FETCH_STREAMS, default 6) exceeds 3.
         import concurrent.futures as _cf
 
-        comps = [A[i] for i in range(3)]
-        host = np.empty((3,) + tuple(comps[0].shape), dtype=out_dtype)
+        nstreams = max(1, int(os.environ.get("NDSM_TPU_FETCH_STREAMS", "6")))
+        per_comp = max(1, -(-nstreams // 3))
+        nz0 = int(A.shape[1])
+        bounds = [
+            (k * nz0) // per_comp for k in range(per_comp)
+        ] + [nz0]
+        tasks = [
+            (i, bounds[k], bounds[k + 1])
+            for i in range(3)
+            for k in range(per_comp)
+            if bounds[k + 1] > bounds[k]
+        ]
+        host = np.empty(tuple(A.shape), dtype=out_dtype)
+        slabs = [A[i, z0:z1] for (i, z0, z1) in tasks]
 
-        def _fetch(i):
-            host[i] = np.asarray(comps[i])
+        def _fetch(k):
+            i, z0, z1 = tasks[k]
+            host[i, z0:z1] = np.asarray(slabs[k])
 
-        with _cf.ThreadPoolExecutor(3) as _ex:
-            list(_ex.map(_fetch, range(3)))
+        with _cf.ThreadPoolExecutor(len(tasks)) as _ex:
+            list(_ex.map(_fetch, range(len(tasks))))
         A = host
         B = curl_np(A, tuple(float(v) for v in dq))
     else:
