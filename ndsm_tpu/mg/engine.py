@@ -377,6 +377,82 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
+    def _pallas_zc_metric_fn(self, level: int, n: int, with_cor: bool):
+        """Metric-fused z-compact smoother (plain or correction-fused):
+        the FINAL post-smooth pass also emits per-window maxima of
+        |u_new - u_ref| so the V-cycle's du stopping metric costs no
+        full-array XLA pass (ops/pallas_zc.zc_smooth_metric_3d), or
+        None when unsupported."""
+        key = ("zc_met", level, n, with_cor)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level):
+            from ..ops import pallas_zc
+
+            shape, rs = self._zc_build_args(level)
+            builder = (
+                pallas_zc.zc_smooth_cor_metric_3d
+                if with_cor
+                else pallas_zc.zc_smooth_metric_3d
+            )
+            fn = builder(
+                self.bcs,
+                self._dq[level],
+                shape,
+                n,
+                interpret=(self.use_pallas == "interpret"),
+                real_shape=rs,
+            )
+        self._pallas_fns[key] = fn
+        return fn
+
+    def t_smooth_metric(self, u, rhs, level: int, u_ref, nsweeps: int):
+        """``nsweeps`` smoothing sweeps with the inter-iterate max metric
+        vs ``u_ref`` fused into the final kernel pass.  Returns
+        (u, max_tiles) — max_tiles is None when the fusion is
+        unsupported (caller computes the metric via t_metric); when
+        present, jnp.max(max_tiles) is BITWISE max|u_new - u_ref|
+        (sweeps identical to t_smooth — same kernels, same pass
+        widths)."""
+        n = nsweeps
+        if n >= 1 and self._on_work_storage(u, level) and tuple(
+            u_ref.shape
+        ) == tuple(u.shape):
+            ns_star = min(n, _pallas_nsweeps())
+            rem = n % ns_star
+            last = rem if rem else ns_star
+            fm = self._pallas_zc_metric_fn(level, last, with_cor=False)
+            if fm is not None:
+                head = n - last
+                if head:
+                    u = self.t_smooth(u, rhs, level, nsweeps=head)
+                return fm(u, rhs, u_ref)
+        return self.t_smooth(u, rhs, level, nsweeps=n), None
+
+    def t_smooth_cor_metric(self, u, cor, rhs, level: int, u_ref):
+        """t_smooth_cor with the inter-iterate max metric vs ``u_ref``
+        fused into the final kernel pass.  Returns (u, max_tiles) with
+        max_tiles None on fallback; sweeps are bitwise-identical to
+        t_smooth_cor (same kernels and pass composition)."""
+        n = self.ms
+        if n >= 1 and self._on_work_storage(u, level) and tuple(
+            u_ref.shape
+        ) == tuple(u.shape):
+            ns_star = min(n, _pallas_nsweeps())
+            if n <= ns_star:
+                f = self._pallas_zc_metric_fn(level, n, with_cor=True)
+                if f is not None:
+                    return f(u, cor, rhs, u_ref)
+            else:
+                fc = self._pallas_zc_cor_fn(level, ns_star)
+                if fc is not None:
+                    u = fc(u, cor, rhs)
+                    return self.t_smooth_metric(
+                        u, rhs, level, u_ref, nsweeps=n - ns_star
+                    )
+        return self.t_smooth_cor(u, cor, rhs, level), None
+
     def t_smooth_cor(self, u, cor, rhs, level: int):
         """ms post-smooth sweeps on (u + cor) — the V-cycle ascent's
         correct-then-relax (reference: ndsm_multigrid_core.f90:659-682).
@@ -666,13 +742,46 @@ class MGEngine:
         iterate padded across the whole group loop — zero per-cycle
         conversion cost); real-shaped inputs are padded on entry and
         sliced on exit (compat path for direct callers)."""
+        u, noconv, _ = self._t_vcycle_core(u, rhs, ex_tol, nmax_exact, None)
+        return u, noconv
+
+    def t_vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
+        """t_vcycle PLUS the inter-iterate convergence metric against
+        ``u_ref`` (the caller's saved pre-cycle iterate — reference
+        du_metrics/update_u pairing, ndsm_multigrid_core.f90:808-853,
+        1077-1122).  Returns ``(u_new, coarse_noconv, du)``.
+
+        For the max metric the final post-smooth kernel emits per-window
+        maxima (ops/pallas_zc.zc_smooth_cor_metric_3d) and du is their
+        max — BITWISE the t_metric value, without t_metric's two
+        full-array reads (XLA elementwise runs at ~10% of HBM bandwidth
+        on this chip, so that pass costs a sizeable fraction of a whole
+        V-cycle).  Everywhere else (mean metric, fp64, unsupported
+        shapes) du falls back to t_metric; the V-cycle arithmetic is
+        bitwise-identical either way."""
+        want = u_ref if self.du_max else None
+        u_new, noconv, mt = self._t_vcycle_core(u, rhs, ex_tol, nmax_exact, want)
+        if mt is not None:
+            du = jnp.max(mt)
+        else:
+            du = self.t_metric(u_new, u_ref)
+        return u_new, noconv, du
+
+    def _t_vcycle_core(self, u, rhs, ex_tol, nmax_exact, u_ref):
+        """Shared V-cycle body.  When ``u_ref`` is not None, the level-0
+        final post-smooth tries the metric-fused kernel and the third
+        return is its max_tiles output (None on any fallback)."""
         if self._padded[0] and tuple(u.shape) == tuple(self.h.shapes[0]):
-            up, noconv = self.t_vcycle(self.t_pad0(u), self.t_pad0(rhs), ex_tol, nmax_exact)
-            return self.t_unpad0(up), noconv
+            up, noconv, mt = self._t_vcycle_core(
+                self.t_pad0(u), self.t_pad0(rhs), ex_tol, nmax_exact,
+                None if u_ref is None else self.t_pad0(u_ref),
+            )
+            return self.t_unpad0(up), noconv, mt
         L = self.h.ngrids
         us = [None] * L
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
+        mt = None
 
         # Descend (fine_to_coarse, :482-560); residual fused into the
         # final pre-smooth pass where the kernel supports it.
@@ -692,13 +801,19 @@ class MGEngine:
             )
 
         # Ascend (coarse_to_fine, :593-684); correction add fused into
-        # the first post-smooth pass where the kernel supports it.
+        # the first post-smooth pass where the kernel supports it, and
+        # (when requested) the du metric into the last one at level 0.
         for l in range(L - 2, -1, -1):
             uc = self.t_smooth(us[l + 1], rhss[l + 1], l + 1)
             cor = self.t_prolong(uc, l)
-            us[l] = self.t_smooth_cor(us[l], cor, rhss[l], l)
+            if l == 0 and u_ref is not None:
+                us[0], mt = self.t_smooth_cor_metric(
+                    us[0], cor, rhss[0], 0, u_ref
+                )
+            else:
+                us[l] = self.t_smooth_cor(us[l], cor, rhss[l], l)
 
-        return us[0], noconv
+        return us[0], noconv, mt
 
     def t_two_grid(self, u, rhs, ex_tol, nmax_exact):
         """Two-grid correction scheme for testing (reference: two_grid,

@@ -231,9 +231,6 @@ class PoissonBVP:
 
     # ------------------------------------------------------------------
 
-    def _cycle_body_direct(self, u, rhs, ex_tol, nmax_exact):
-        return self._inner.t_vcycle(u, rhs, ex_tol, nmax_exact)
-
     def _cycle_body_mixed(self, u, rhs, ex_tol, nmax_exact):
         """One defect group with a single inner V-cycle (the strict
         mixed iteration; kept for the reduced drivers and as the
@@ -301,8 +298,11 @@ class PoissonBVP:
 
         def body(c):
             e, du_e, _, k, nc, h = c
-            e_new, noconv = eng32.t_vcycle(e, r32, ex_tol_eff, nmax_exact)
-            du_new = eng32.t_metric(e_new, e)
+            # du fused into the final post-smooth kernel where supported
+            # (max metric; bitwise the t_metric value — see t_vcycle_du).
+            e_new, noconv, du_new = eng32.t_vcycle_du(
+                e, r32, ex_tol_eff, nmax_exact, e
+            )
             if h is not None:
                 h = h.at[it + k].set(du_of(du_new))
             return (e_new, du_new, du_e, k + 1, nc | noconv, h)
@@ -383,8 +383,9 @@ class PoissonBVP:
 
         def body(c):
             e, du_e, _, k, nc, h = c
-            e_new, noconv = eng32.t_vcycle(e, r32, ex_tol_eff, nmax_exact)
-            du_new = eng32.t_metric(e_new, e)
+            e_new, noconv, du_new = eng32.t_vcycle_du(
+                e, r32, ex_tol_eff, nmax_exact, e
+            )
             if h is not None:
                 h = h.at[it + k].set(du_of(du_new))
             return (e_new, du_new, du_e, k + 1, nc | noconv, h)
@@ -505,8 +506,9 @@ class PoissonBVP:
                     u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, None
                 )
             else:
-                u_new, noconv = self._cycle_body_direct(u, rhs, ex_tol, nmax_exact)
-                du = self._outer.t_metric(u_new, u)
+                u_new, noconv, du = self._inner.t_vcycle_du(
+                    u, rhs, ex_tol, nmax_exact, u
+                )
                 ncyc = jnp.int32(1)
             if self.options.debug:
                 from ..utils.compat import callbacks_supported
@@ -551,8 +553,9 @@ class PoissonBVP:
                     u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
                 )
             else:
-                u_new, noconv = self._cycle_body_direct(u, rhs, ex_tol, nmax_exact)
-                du = self._outer.t_metric(u_new, u)
+                u_new, noconv, du = self._inner.t_vcycle_du(
+                    u, rhs, ex_tol, nmax_exact, u
+                )
                 hist = hist.at[it].set(du)
                 ncyc = jnp.int32(1)
             return (u_new, du, it + ncyc, hist, flag | noconv)
@@ -588,9 +591,8 @@ class PoissonBVP:
             )
         else:
             cycleB = jax.vmap(
-                lambda u, r: self._cycle_body_direct(u, r, ex_tol, nmax_exact)
+                lambda u, r: self._inner.t_vcycle_du(u, r, ex_tol, nmax_exact, u)
             )
-            metricB = jax.vmap(self._outer.t_metric)
 
         def active_of(du, it):
             return jnp.logical_and(it < nmax, du >= vc_tol)
@@ -605,8 +607,7 @@ class PoissonBVP:
             if mixed:
                 u_new, noconv, du_new, ncyc, _ = groupB(u, rhs, it)
             else:
-                u_new, noconv = cycleB(u, rhs)
-                du_new = metricB(u_new, u)
+                u_new, noconv, du_new = cycleB(u, rhs)
                 ncyc = jnp.ones((B,), jnp.int32)
             sel = active.reshape((B,) + (1,) * (u.ndim - 1))
             u = jnp.where(sel, u_new, u)

@@ -70,6 +70,8 @@ __all__ = [
     "zc_smooth_3d",
     "zc_smooth_cor_3d",
     "zc_smooth_residual_3d",
+    "zc_smooth_metric_3d",
+    "zc_smooth_cor_metric_3d",
     "zc_smooth_sharded_3d",
     "zc_kernel_supported",
     "zc_covers_3d",
@@ -94,7 +96,7 @@ def _halos(nsweeps: int, residual: bool = False) -> Tuple[int, int]:
 
 def pick_tiles_zc(
     shape: Tuple[int, int, int], nsweeps: int, residual: bool = False,
-    with_cor: bool = False,
+    with_cor: bool = False, with_metric: bool = False,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y): tile divisors of (nz, ny) and window extents
     maximizing the useful fraction under the VMEM budget.  tz even
@@ -116,9 +118,14 @@ def pick_tiles_zc(
             # 2 dense double-buffered windows + 4 half work arrays; the
             # residual variant additionally keeps the res halves and the
             # interleave temporaries live (measured ~3 more dense units
-            # of Mosaic scoped stack at 256^3); the correction stream
-            # adds one more double-buffered window.
-            units = (9 if residual else 6) + (2 if with_cor else 0)
+            # of Mosaic scoped stack at 256^3); the correction and
+            # metric-reference streams add one more double-buffered
+            # window each.
+            units = (
+                (9 if residual else 6)
+                + (2 if with_cor else 0)
+                + (2 if with_metric else 0)
+            )
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -129,7 +136,8 @@ def pick_tiles_zc(
 
 def zc_kernel_supported(
     shape, bcs: BCS, dtype, nsweeps: int, interpret: bool = False,
-    residual: bool = False, with_cor: bool = False, real_shape=None,
+    residual: bool = False, with_cor: bool = False, with_metric: bool = False,
+    real_shape=None,
 ) -> bool:
     """``real_shape``: for PADDED operation, the real problem extents
     (nz, ny_real, nx_real) with ny_real <= ny, nx_real <= nx — the
@@ -154,7 +162,10 @@ def zc_kernel_supported(
         return False  # lane-aligned dense DMA rows
     if not interpret and ny % 8 != 0:
         return False  # sublane-aligned window clamps
-    return pick_tiles_zc(tuple(shape), nsweeps, residual, with_cor) is not None
+    return (
+        pick_tiles_zc(tuple(shape), nsweeps, residual, with_cor, with_metric)
+        is not None
+    )
 
 
 def padded_shape_3d(shape) -> Optional[Tuple[int, int, int]]:
@@ -234,6 +245,7 @@ def _zc_kernel(
     H_z: int, H_y: int,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
     bcs: BCS, residual: bool = False, with_cor: bool = False,
+    with_metric: bool = False,
     ny_real: int | None = None, nx_real: int | None = None,
 ):
     # Padded operation: real problem extents < padded array extents.
@@ -247,20 +259,32 @@ def _zc_kernel(
     cor_hbm = None
     if with_cor:
         cor_hbm, refs = refs[0], refs[1:]
+    uref_hbm = None
+    if with_metric:
+        uref_hbm, refs = refs[0], refs[1:]
+    res_ref = met_ref = None
     if residual:
         out_ref, res_ref = refs[0], refs[1]
         refs = refs[2:]
+    elif with_metric:
+        out_ref, met_ref = refs[0], refs[1]
+        refs = refs[2:]
     else:
         out_ref, refs = refs[0], refs[1:]
-        res_ref = None
+    bufU, bufR = refs[0], refs[1]
+    refs = refs[2:]
+    bufC = None
     if with_cor:
-        bufU, bufR, bufC = refs[0], refs[1], refs[2]
-        refs = refs[3:]
-    else:
-        bufU, bufR = refs[0], refs[1]
-        bufC = None
-        refs = refs[2:]
-    wR, wB, wrR, wrB, in_sems, out_sems = refs
+        bufC, refs = refs[0], refs[1:]
+    bufT = None
+    if with_metric:
+        bufT, refs = refs[0], refs[1:]
+    wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
+    refs = refs[4:]
+    bufM = None
+    if with_metric:
+        bufM, refs = refs[0], refs[1:]
+    in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
     gy = jnp.int32(pl.num_programs(1))
@@ -283,6 +307,8 @@ def _zc_kernel(
         streams = ((u_hbm, bufU), (rhs_hbm, bufR))
         if with_cor:
             streams = streams + ((cor_hbm, bufC),)
+        if with_metric:
+            streams = streams + ((uref_hbm, bufT),)
         return [
             pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
             for k, (src, buf) in enumerate(streams)
@@ -303,6 +329,12 @@ def _zc_kernel(
             dmas.append(
                 pltpu.make_async_copy(
                     bufR.at[src], res_ref.at[dst], out_sems.at[slot, i32(1)]
+                )
+            )
+        if with_metric:
+            dmas.append(
+                pltpu.make_async_copy(
+                    bufM.at[slot], met_ref.at[ii, jj], out_sems.at[slot, i32(1)]
                 )
             )
         return dmas
@@ -439,6 +471,35 @@ def _zc_kernel(
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
 
+    if with_metric:
+        # Inter-iterate max metric of the swept state against the
+        # streamed reference iterate, over the REAL tile only (window
+        # halo rows are sweep-contaminated and belong to other tiles;
+        # the tiles partition the array, and max is exactly
+        # order-independent, so the engine's jnp.max over the (gz, gy,
+        # 8, 128) grid output is BITWISE max|u_new - u_ref| — the same
+        # value the XLA du_metrics pass computes, without its full-array
+        # read of both iterates (reference metric: du_metrics,
+        # ndsm_multigrid_core.f90:808-853).  Pad/Dirichlet-frozen points
+        # difference to exactly zero and cannot affect the max.
+        azw = lax.broadcasted_iota(jnp.int32, (W_z, 1, 1), 0)
+        oz = i * i32(tz) - sz
+        oy = jnp.int32(pl.multiple_of(j * i32(ty), 8)) - sy
+        real = (
+            (azw >= oz)
+            & (azw < oz + i32(tz))
+            & (ly >= oy)
+            & (ly < oy + i32(ty))
+        )
+        m = jnp.max(
+            jnp.where(
+                real,
+                jnp.abs(bufU[slot] - bufT[slot]),
+                jnp.float32(0.0),
+            )
+        )
+        bufM[slot] = jnp.zeros((8, 128), jnp.float32) + m
+
     if residual:
         # Residual of the swept state while it is in VMEM — mirrors
         # stencils.poisson_residual: lap accumulated z,y,x as
@@ -490,7 +551,7 @@ def _zc_kernel(
 
 def _build(
     bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False,
-    real_shape=None,
+    with_metric=False, real_shape=None,
 ):
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
@@ -500,13 +561,15 @@ def _build(
             real_shape = None
     if residual and with_cor:
         raise ValueError("residual and with_cor variants are exclusive")
+    if residual and with_metric:
+        raise ValueError("residual and with_metric variants are exclusive")
     if not zc_kernel_supported(
         shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual,
-        with_cor=with_cor, real_shape=real_shape,
+        with_cor=with_cor, with_metric=with_metric, real_shape=real_shape,
     ):
         return None
     nz, ny, nx = shape
-    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual, with_cor)
+    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual, with_cor, with_metric)
     # Mimic ops.stencils.stencil_weights EXACTLY (w cast to f32, w0 from
     # the f32 sum) so kernel sweeps are bitwise-equal to rb_sweep.
     dq = np.asarray(dq, dtype=np.float64)
@@ -521,15 +584,21 @@ def _build(
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=p0, bcs=bcs, residual=residual,
-        with_cor=with_cor,
+        with_cor=with_cor, with_metric=with_metric,
         ny_real=None if real_shape is None else real_shape[1],
         nx_real=None if real_shape is None else real_shape[2],
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
-    n_in = 3 if with_cor else 2
-    n_out = 2 if residual else 1
-    out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)] * n_out
+    n_in = 2 + (1 if with_cor else 0) + (1 if with_metric else 0)
+    n_out = 2 if (residual or with_metric) else 1
+    out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)]
+    if residual:
+        out_shape.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+    elif with_metric:
+        out_shape.append(
+            jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32)
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -542,6 +611,9 @@ def _build(
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+        ]
+        + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_metric else [])
+        + [
             pltpu.SemaphoreType.DMA((2, n_in)),
             pltpu.SemaphoreType.DMA((2, n_out)),
         ],
@@ -632,6 +704,67 @@ def zc_smooth_residual_3d(
 
     def apply(u, rhs):
         out = call(u, rhs)
+        return out[0], out[1]
+
+    return apply
+
+
+def zc_smooth_metric_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    nsweeps: int,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    real_shape=None,
+):
+    """Metric-fused smoother: call(u, rhs, u_ref) -> (u', max_tiles) with
+    ``jnp.max(max_tiles)`` EXACTLY equal (bitwise — max is order-
+    independent over the same f32 differences) to
+    ``jnp.max(jnp.abs(u' - u_ref))``, i.e. the inter-iterate max metric
+    of ops/reduce.du_metrics (reference du_metrics,
+    ndsm_multigrid_core.f90:808-853).  Used as the FINAL post-smooth pass
+    of a V-cycle so the du stopping metric costs no extra full-array XLA
+    pass (which runs at ~10% of HBM bandwidth on this chip);
+    ``max_tiles`` is a (gz, gy, 8, 128) per-window-max array, a few KB."""
+    call = _build(
+        bcs, dq, shape, nsweeps, dtype, interpret, False, with_metric=True,
+        real_shape=real_shape,
+    )
+    if call is None:
+        return None
+
+    def apply(u, rhs, u_ref):
+        out = call(u, rhs, u_ref)
+        return out[0], out[1]
+
+    return apply
+
+
+def zc_smooth_cor_metric_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    nsweeps: int,
+    dtype=jnp.float32,
+    interpret: bool = False,
+    real_shape=None,
+):
+    """Correction- AND metric-fused smoother: call(u, cor, rhs, u_ref) ->
+    (u', max_tiles) — ``nsweeps`` sweeps on (u + cor) plus the
+    inter-iterate max metric vs ``u_ref`` in ONE HBM pass (the V-cycle
+    ascent's correct + post-smooth + du in a single kernel; see
+    zc_smooth_cor_3d / zc_smooth_metric_3d for the two fusions'
+    bitwise-equality arguments)."""
+    call = _build(
+        bcs, dq, shape, nsweeps, dtype, interpret, False, with_cor=True,
+        with_metric=True, real_shape=real_shape,
+    )
+    if call is None:
+        return None
+
+    def apply(u, cor, rhs, u_ref):
+        out = call(u, rhs, cor, u_ref)
         return out[0], out[1]
 
     return apply
