@@ -527,14 +527,15 @@ class MultiBCSolver:
         """Per-lane metric-fused z-compact smoothers (plain or
         correction-fused; see MGEngine._pallas_zc_metric_fn), or None
         when any lane is unsupported."""
-        from .engine import _pallas_min_points
+        from .engine import _metric_fused_enabled, _pallas_min_points
 
         key = ("zc_met", level, n, with_cor)
         if key in self._pallas_fns:
             return self._pallas_fns[key]
         fn = None
         if (
-            self.use_pallas in ("on", "interpret")
+            _metric_fused_enabled()
+            and self.use_pallas in ("on", "interpret")
             and self.inner_dtype == jnp.float32
             and self.h.ndim == 3
             and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()

@@ -64,6 +64,16 @@ def _pallas_nsweeps() -> int:
     return max(1, int(os.environ.get("NDSM_TPU_PALLAS_NSWEEPS", 2)))
 
 
+def _metric_fused_enabled() -> bool:
+    """Metric-fused final post-smooth (t_vcycle_du) on/off switch.
+    NDSM_TPU_METRIC_FUSED=0 falls back to the XLA t_metric pass —
+    bitwise-identical results (the fusion only moves where the max is
+    computed), kept as a measurement toggle and a recovery valve."""
+    import os
+
+    return os.environ.get("NDSM_TPU_METRIC_FUSED", "1") != "0"
+
+
 __all__ = ["MGEngine"]
 
 
@@ -387,7 +397,7 @@ class MGEngine:
         if key in self._pallas_fns:
             return self._pallas_fns[key]
         fn = None
-        if self._pallas_eligible(level):
+        if self._pallas_eligible(level) and _metric_fused_enabled():
             from ..ops import pallas_zc
 
             shape, rs = self._zc_build_args(level)

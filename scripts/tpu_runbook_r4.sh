@@ -25,6 +25,10 @@ step transfer 900 python3 scripts/transfer_probe.py 220
 step perf_256 2400 python3 scripts/perf_r4.py 256
 step perf_220 2400 python3 scripts/perf_r4.py 220
 
+# 1b. round-5: metric-fused final post-smooth vs the XLA du pass
+#     (bitwise-identical solutions; measures the per-cycle saving)
+step perf_r5 2400 python3 scripts/perf_r5.py 256 220
+
 # 2. golden-gated benches at the df32-affected sizes + headline
 NDSM_BENCH_TIMEOUT=2100 NDSM_BENCH_THROUGHPUT=0 NDSM_BENCH_N=160 step bench_160 2200 python3 bench.py
 NDSM_BENCH_TIMEOUT=2100 NDSM_BENCH_THROUGHPUT=0 NDSM_BENCH_N=176 step bench_176 2200 python3 bench.py
