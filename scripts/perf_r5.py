@@ -51,6 +51,70 @@ def _fresh_bvp(n, fused: bool):
     return PoissonBVP(h, bcs, Options(precision="mixed"))
 
 
+def phase_breakdown(n, K=20):
+    """K-differenced single-program timings of every V-cycle phase at
+    the finest level (the honest form through the tunnel): kernel
+    smoothing passes, the residual- and correction+metric-fused passes,
+    the restrict/prolong matrix chain, and the XLA du pass the metric
+    fusion replaces.  Decides whether transfer-op fusion is the next
+    kernel worth building."""
+    os.environ["NDSM_TPU_METRIC_FUSED"] = "1"
+    from ndsm_tpu import GridHierarchy
+    from ndsm_tpu.mg.poisson import _cached_engine, _ENGINE_CACHE
+
+    _ENGINE_CACHE.clear()
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("N", "N"), ("D", "D"), ("D", "D"))
+    eng = _cached_engine(
+        h, bcs, 5, True, jnp.float32, coarse_direct=True,
+        use_pallas=os.environ.get("NDSM_PERF_PALLAS", "on"),
+    )
+    w0 = eng._work_shapes[0]
+    w1 = eng._work_shapes[1]
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(w0), jnp.float32)
+    r = jnp.asarray(rng.standard_normal(w0), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(w0), jnp.float32)
+    pts = float(np.prod(w0))
+
+    def loopK(f):
+        return jax.jit(lambda v: jax.lax.fori_loop(0, K, lambda _, a: f(a), v))
+
+    def kdiff(name, prog, v, work_desc=""):
+        out = prog(v)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            jax.block_until_ready(prog(v))
+            ts.append(time.perf_counter() - t0)
+        per = min(ts) / K
+        print(f"  {name:28s}: {per*1e3:8.3f} ms/pass  "
+              f"({pts/per/1e9:6.1f} Gpt/s) {work_desc}", flush=True)
+        return per
+
+    print(f"== V-cycle phase breakdown, {n}^3 (work {w0}), K={K} ==", flush=True)
+    kdiff("smooth pass (ns=2)", loopK(lambda v: eng.t_smooth(v, r, 0, nsweeps=2)), u)
+    kdiff("residual-fused (2+res)",
+          loopK(lambda v: eng.t_smooth_residual(v, r, 0)[1]), u)
+    kdiff("cor+metric fused (ms=5)",
+          loopK(lambda v: eng.t_smooth_cor_metric(v, c, r, 0, u)[0]), u)
+    kdiff("cor fused only (ms=5)",
+          loopK(lambda v: eng.t_smooth_cor(v, c, r, 0)), u)
+    # restrict+prolong round trip at the finest level pair
+    kdiff("restrict+prolong (L0<->L1)",
+          loopK(lambda v: eng.t_prolong(eng.t_restrict(v, 0), 0)), u,
+          f"coarse {w1}")
+    # the XLA du pass the metric fusion replaces
+    kdiff("XLA du pass (max|a-b|)",
+          loopK(lambda v: v + eng.t_metric(v, r) * 0), u)
+    kdiff("full t_vcycle", loopK(
+        lambda v: eng.t_vcycle(v, r, 1e-6, 10)[0]), u)
+    kdiff("full t_vcycle_du", loopK(
+        lambda v: eng.t_vcycle_du(v, r, 1e-6, 10, v)[0]), u)
+
+
 def main(sizes):
     rng = np.random.default_rng(3)
     for n in sizes:
@@ -81,4 +145,9 @@ def main(sizes):
 
 
 if __name__ == "__main__":
-    main([int(a) for a in sys.argv[1:]] or [256, 220])
+    args = [a for a in sys.argv[1:]]
+    if args and args[0] == "--phases":
+        for n in [int(a) for a in args[1:]] or [256]:
+            phase_breakdown(n)
+    else:
+        main([int(a) for a in args] or [256, 220])
