@@ -26,8 +26,11 @@ step perf_256 2400 python3 scripts/perf_r4.py 256
 step perf_220 2400 python3 scripts/perf_r4.py 220
 
 # 1b. round-5: metric-fused final post-smooth vs the XLA du pass
-#     (bitwise-identical solutions; measures the per-cycle saving)
+#     (bitwise-identical solutions; measures the per-cycle saving),
+#     plus the per-phase V-cycle breakdown that decides whether
+#     transfer-op (restrict/prolong) fusion is worth building
 step perf_r5 2400 python3 scripts/perf_r5.py 256 220
+step perf_r5_phases 1800 python3 scripts/perf_r5.py --phases 256
 
 # 2. golden-gated benches at the df32-affected sizes + headline
 NDSM_BENCH_TIMEOUT=2100 NDSM_BENCH_THROUGHPUT=0 NDSM_BENCH_N=160 step bench_160 2200 python3 bench.py
