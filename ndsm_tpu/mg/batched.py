@@ -69,7 +69,9 @@ class MultiBCSolver:
         hierarchy: GridHierarchy,
         bcs_list: Sequence[Sequence[Sequence[str]]],
         options: Options = Options(),
+        _metric_fused: bool = True,
     ):
+        self._metric_fused = bool(_metric_fused)
         self.h = hierarchy
         self.bcs_list = tuple(
             stencils.validate_bcs(b, hierarchy.ndim) for b in bcs_list
@@ -534,7 +536,8 @@ class MultiBCSolver:
             return self._pallas_fns[key]
         fn = None
         if (
-            _metric_fused_enabled()
+            self._metric_fused
+            and _metric_fused_enabled()
             and self.use_pallas in ("on", "interpret")
             and self.inner_dtype == jnp.float32
             and self.h.ndim == 3
@@ -1156,16 +1159,29 @@ class MultiBCSolver:
 
             from ..utils.msgs import warn
 
-            warn(
-                "ndsm_tpu: batched Pallas smoother failed to compile for "
-                f"{self.h.fine_shape}; falling back to the XLA smoother"
-            )
+            # Staged recovery: drop only the metric-fused variant first
+            # (the rest of the kernel stack survives); a second failure
+            # chains — via the fallback's own except — to use_pallas=off.
             fb = getattr(self, "_fallback", None)
             if fb is None:
-                fb = MultiBCSolver(
-                    self.h, self.bcs_list, _dc.replace(o, use_pallas="off")
-                )
+                if self._metric_fused:
+                    fb = MultiBCSolver(
+                        self.h, self.bcs_list, o, _metric_fused=False
+                    )
+                else:
+                    fb = MultiBCSolver(
+                        self.h, self.bcs_list, _dc.replace(o, use_pallas="off")
+                    )
                 self._fallback = fb
+            warn(
+                "ndsm_tpu: batched Pallas kernel failed to compile for "
+                f"{self.h.fine_shape}; retrying with "
+                + (
+                    "the metric fusion disabled"
+                    if fb.use_pallas != "off"
+                    else "the XLA smoother"
+                )
+            )
             return fb.solve(u0_stack, names=names)
         du, it, ierr, flag = jax.device_get((du, it, ierr, flag))
         wall = _time.perf_counter() - t0

@@ -97,11 +97,16 @@ class MGEngine:
         coarse_direct: bool = False,
         compact_smoother: bool = True,
         use_pallas: str = "off",
+        metric_fused: bool = True,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.ms = int(ms)
         self.du_max = bool(du_max)
+        # Metric-fused final post-smooth (t_vcycle_du); False is the
+        # staged runtime fallback when only the metric kernel variant
+        # fails to compile (the rest of the kernel stack survives).
+        self.metric_fused = bool(metric_fused) and _metric_fused_enabled()
         self.dtype = jnp.dtype(dtype)
         self.shard_spec = shard_spec
         # Fused Pallas smoother (ops/pallas_fused.py): "on"/"interpret"
@@ -397,7 +402,7 @@ class MGEngine:
         if key in self._pallas_fns:
             return self._pallas_fns[key]
         fn = None
-        if self._pallas_eligible(level) and _metric_fused_enabled():
+        if self._pallas_eligible(level) and self.metric_fused:
             from ..ops import pallas_zc
 
             shape, rs = self._zc_build_args(level)

@@ -59,11 +59,11 @@ _COVFAIL_WARNING = (
 
 def _cached_engine(
     hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False,
-    compact_smoother=True, use_pallas="off",
+    compact_smoother=True, use_pallas="off", metric_fused=True,
 ):
     key = (
         hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec,
-        coarse_direct, compact_smoother, use_pallas,
+        coarse_direct, compact_smoother, use_pallas, metric_fused,
     )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
@@ -77,6 +77,7 @@ def _cached_engine(
             coarse_direct=coarse_direct,
             compact_smoother=compact_smoother,
             use_pallas=use_pallas,
+            metric_fused=metric_fused,
         )
         _ENGINE_CACHE.put(key, eng)
     return eng
@@ -100,11 +101,13 @@ class PoissonBVP:
         bcs: Sequence[Sequence[str]],
         options: Options = Options(),
         shard_spec=None,
+        _metric_fused: bool = True,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.options = options
         self.shard_spec = shard_spec
+        self._metric_fused = bool(_metric_fused)
         self.mode = options.resolve_precision()
         if self.mode not in ("fp64", "mixed", "fp32"):
             raise ValueError(f"unknown precision mode {self.mode!r}")
@@ -127,6 +130,7 @@ class PoissonBVP:
             coarse_direct,
             compact,
             use_pallas,
+            metric_fused=self._metric_fused,
         )
         self._outer = (
             self._inner
@@ -680,11 +684,17 @@ class PoissonBVP:
         except Exception as e:
             if not (self._pallas_active() and self._is_kernel_compile_error(e)):
                 raise
+            fb = self._kernel_fallback()
             warn(
-                "ndsm_tpu: fused Pallas smoother failed to compile for "
-                f"{self.h.fine_shape}; falling back to the XLA smoother"
+                "ndsm_tpu: Pallas kernel failed to compile for "
+                f"{self.h.fine_shape}; retrying with "
+                + (
+                    "the metric fusion disabled"
+                    if getattr(fb._inner, "use_pallas", "off") != "off"
+                    else "the XLA smoother"
+                )
             )
-            return self._xla_fallback().solve_batch(
+            return fb.solve_batch(
                 u0s,
                 rhss,
                 vc_tol=vc_tol,
@@ -741,6 +751,25 @@ class PoissonBVP:
             self._fallback_bvp = fb
         return fb
 
+    def _kernel_fallback(self) -> "PoissonBVP":
+        """Staged compile-failure recovery: first drop ONLY the metric-
+        fused variant (the newest kernel; the rest of the stack
+        survives), then — via the fallback's own except chain — the
+        whole Pallas stack."""
+        if getattr(self._inner, "metric_fused", False):
+            fb = getattr(self, "_fallback_nometric", None)
+            if fb is None:
+                fb = PoissonBVP(
+                    self.h,
+                    self.bcs,
+                    self.options,
+                    shard_spec=self.shard_spec,
+                    _metric_fused=False,
+                )
+                self._fallback_nometric = fb
+            return fb
+        return self._xla_fallback()
+
     def solve(self, u0, rhs, **kw):
         """See ``_solve_checked`` for the full signature.  Falls back to
         the XLA smoother if the fused Pallas kernel fails to compile for
@@ -750,11 +779,17 @@ class PoissonBVP:
         except Exception as e:
             if not (self._pallas_active() and self._is_kernel_compile_error(e)):
                 raise
+            fb = self._kernel_fallback()
             warn(
-                "ndsm_tpu: fused Pallas smoother failed to compile for "
-                f"{self.h.fine_shape}; falling back to the XLA smoother"
+                "ndsm_tpu: Pallas kernel failed to compile for "
+                f"{self.h.fine_shape}; retrying with "
+                + (
+                    "the metric fusion disabled"
+                    if getattr(fb._inner, "use_pallas", "off") != "off"
+                    else "the XLA smoother"
+                )
             )
-            return self._xla_fallback()._solve_checked(u0, rhs, **kw)
+            return fb.solve(u0, rhs, **kw)
 
     def _solve_checked(
         self,

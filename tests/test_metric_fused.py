@@ -205,3 +205,36 @@ def test_batched_vcycle_du_bitwise(monkeypatch):
     u2, _, du = mbs._vcycle_du(e, r, 1e-6, 50, e)
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
     np.testing.assert_array_equal(np.asarray(du), np.asarray(mbs._metric(u1, e)))
+
+
+def test_staged_kernel_fallback_chain(monkeypatch):
+    """Compile-failure recovery order: metric fusion off FIRST (kernel
+    stack survives), full XLA smoother only on a second failure; the
+    metric-off solve is bitwise the fused solve."""
+    from ndsm_tpu import GridHierarchy, Options, PoissonBVP
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 16
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    bvp = PoissonBVP(h, bcs, Options(precision="mixed"))
+    assert bvp._inner.metric_fused
+    fb = bvp._kernel_fallback()
+    assert not fb._inner.metric_fused
+    assert fb._inner.use_pallas == bvp._inner.use_pallas  # stack survives
+    # stage 2 is the options-level use_pallas="off" BVP (NDSM_TPU_PALLAS
+    # overrides options, so lift it before constructing the fallback —
+    # in production the env is unset)
+    monkeypatch.delenv("NDSM_TPU_PALLAS")
+    fb2 = fb._kernel_fallback()
+    assert fb2._inner.use_pallas == "off"
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    rng = np.random.default_rng(13)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    u_a, info_a = bvp.solve(u0, rhs)
+    u_b, info_b = fb.solve(u0, rhs)
+    np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_b))
+    assert info_a.cycles == info_b.cycles
