@@ -800,11 +800,13 @@ def zc_smooth_cor_metric_3d(
 
 
 def pick_tiles_zc_sharded(
-    local_shape: Tuple[int, int, int], nsweeps: int, ext_y: bool
+    local_shape: Tuple[int, int, int], nsweeps: int, ext_y: bool,
+    with_metric: bool = False,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y) over the REAL local block; windows read from
     the extended block.  Budget counts 3 double-buffered streams (u,
-    rhs, C) plus the split work arrays."""
+    rhs, C) plus the split work arrays (and the metric variant's
+    double-buffered reference window)."""
     nz, ny, nx = local_shape
     H_z, H_y = _halos(nsweeps)
     best, best_frac = None, 0.0
@@ -818,7 +820,8 @@ def pick_tiles_zc_sharded(
             wy = ty + 2 * H_y if ext_y else min(ny, ty + 2 * H_y)
             if wz % 2 or wy % 8:
                 continue
-            if 10 * wz * wy * nx * 4 > _VMEM_BUDGET:
+            extra = 2 * tz * (ty if ext_y else wy) * nx * 4 if with_metric else 0
+            if 10 * wz * wy * nx * 4 + extra > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:
@@ -827,7 +830,8 @@ def pick_tiles_zc_sharded(
 
 
 def zc_sharded_supported(
-    local_shape, dtype, nsweeps: int, ext_y: bool, interpret: bool = False
+    local_shape, dtype, nsweeps: int, ext_y: bool, interpret: bool = False,
+    with_metric: bool = False,
 ) -> bool:
     if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
@@ -838,20 +842,41 @@ def zc_sharded_supported(
         return False  # even global offsets keep the parity static
     if not interpret and nx % 128 != 0:
         return False
-    return pick_tiles_zc_sharded(tuple(local_shape), nsweeps, ext_y) is not None
+    return (
+        pick_tiles_zc_sharded(tuple(local_shape), nsweeps, ext_y, with_metric)
+        is not None
+    )
 
 
 def _zc_sharded_kernel(
-    u_hbm, rhs_hbm, c_hbm,
-    out_ref,
-    bufU, bufR, bufC,
-    wR, wB, wrR, wrB,
-    in_sems, out_sems,
-    *,
+    *refs,
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     H_z: int, H_y: int, ext_y: bool,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
+    with_metric: bool = False,
 ):
+    # Ref layout: inputs (u, rhs, C[, uref]), outputs (out[, met]),
+    # scratch (bufU, bufR, bufC[, bufT], work arrays[, bufM], sems).
+    u_hbm, rhs_hbm, c_hbm = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+    uref_hbm = None
+    if with_metric:
+        uref_hbm, refs = refs[0], refs[1:]
+    out_ref, refs = refs[0], refs[1:]
+    met_ref = None
+    if with_metric:
+        met_ref, refs = refs[0], refs[1:]
+    bufU, bufR, bufC = refs[0], refs[1], refs[2]
+    refs = refs[3:]
+    bufT = None
+    if with_metric:
+        bufT, refs = refs[0], refs[1:]
+    wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
+    refs = refs[4:]
+    bufM = None
+    if with_metric:
+        bufM, refs = refs[0], refs[1:]
+    in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
     gy = jnp.int32(pl.num_programs(1))
@@ -873,12 +898,28 @@ def _zc_sharded_kernel(
     def fetch(slot, ii, jj):
         sz, sy = window_starts(ii, jj)
         win = (pl.ds(sz, W_z), pl.ds(sy, W_y), slice(None))
-        return [
+        dmas = [
             pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
             for k, (src, buf) in enumerate(
                 ((u_hbm, bufU), (rhs_hbm, bufR), (c_hbm, bufC))
             )
         ]
+        if with_metric:
+            # The reference iterate is the REAL local block (no halos):
+            # fetch its tile rows at real z coords; y rides the u
+            # window's real-coords span (ext_y: the static tile).
+            z_t = pl.ds(ii * i32(tz), tz)
+            y_t = pl.ds(pl.multiple_of(jj * i32(ty), 8), ty) if ext_y else (
+                pl.ds(sy, W_y)
+            )
+            dmas.append(
+                pltpu.make_async_copy(
+                    uref_hbm.at[(z_t, y_t, slice(None))],
+                    bufT.at[slot],
+                    in_sems.at[slot, i32(3)],
+                )
+            )
+        return dmas
 
     def out_dmas(slot, ii, jj):
         sz, sy = window_starts(ii, jj)
@@ -889,9 +930,16 @@ def _zc_sharded_kernel(
         oy = pl.multiple_of((y0 + (i32(H_y) if ext_y else i32(0))) - sy, 8)
         src = (slot, pl.ds(oz, tz), pl.ds(oy, ty), slice(None))
         dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
-        return [
+        dmas = [
             pltpu.make_async_copy(bufU.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
         ]
+        if with_metric:
+            dmas.append(
+                pltpu.make_async_copy(
+                    bufM.at[slot], met_ref.at[ii, jj], out_sems.at[slot, i32(1)]
+                )
+            )
+        return dmas
 
     slot = lax.rem(step, i32(2))
 
@@ -967,6 +1015,30 @@ def _zc_sharded_kernel(
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
 
+    if with_metric:
+        # Per-window max of |u_new - u_ref| over the REAL tile (the
+        # sharded du metric's local contribution; the engine reduces
+        # jnp.max over the grid output and pmax over shards — bitwise
+        # the XLA local max, see zc_smooth_metric_3d).  z offset of the
+        # real tile in the window is the static H_z; y is the static
+        # tile under ext_y, else masked within the shared real-coords
+        # window span.
+        a = bufU[slot][H_z : H_z + tz]
+        if ext_y:
+            m = jnp.max(jnp.abs(a[:, H_y : H_y + ty, :] - bufT[slot]))
+        else:
+            _, sy = window_starts(i, j)
+            oy = pl.multiple_of(j * i32(ty), 8) - sy
+            lyw = lax.broadcasted_iota(jnp.int32, (1, W_y, nx), 1)
+            m = jnp.max(
+                jnp.where(
+                    jnp.logical_and(lyw >= oy, lyw < oy + i32(ty)),
+                    jnp.abs(a - bufT[slot]),
+                    jnp.float32(0.0),
+                )
+            )
+        bufM[slot] = jnp.zeros((8, 128), jnp.float32) + m
+
     for d in out_dmas(slot, i, j):
         d.start()
 
@@ -992,6 +1064,7 @@ def zc_smooth_sharded_3d(
     dtype=jnp.float32,
     interpret: bool = False,
     vma=None,
+    with_metric: bool = False,
 ):
     """Build the per-shard smoother, or None if unsupported.  Returns
     call(ext_u, ext_rhs, ext_C) -> u over the REAL local block, where
@@ -1002,12 +1075,23 @@ def zc_smooth_sharded_3d(
     parity (stencils.first_color_parity of the problem's bcs).
     ``vma`` is the set of mesh-axis names the output varies over (the
     caller runs this inside shard_map, whose vma type system requires
-    pallas_call out_shapes to declare their varying axes)."""
+    pallas_call out_shapes to declare their varying axes).
+
+    ``with_metric``: call(ext_u, ext_rhs, ext_C, u_ref) -> (u,
+    max_tiles) additionally streams the REAL-block reference iterate
+    and emits per-window maxima of |u_new - u_ref| (the local du
+    contribution; jnp.max + lax.pmax over shards is BITWISE the XLA
+    metric — see zc_smooth_metric_3d)."""
     local_shape = tuple(int(s) for s in local_shape)
-    if not zc_sharded_supported(local_shape, dtype, nsweeps, ext_y, interpret=interpret):
+    if not zc_sharded_supported(
+        local_shape, dtype, nsweeps, ext_y, interpret=interpret,
+        with_metric=with_metric,
+    ):
         return None
     nz, ny, nx = local_shape
-    tz, ty, W_z, W_y = pick_tiles_zc_sharded(local_shape, nsweeps, ext_y)
+    tz, ty, W_z, W_y = pick_tiles_zc_sharded(
+        local_shape, nsweeps, ext_y, with_metric
+    )
     dq = np.asarray(dq, dtype=np.float64)
     w32 = (1.0 / (dq * dq)).astype(np.float32)
     w = tuple(float(x) for x in w32)
@@ -1019,29 +1103,47 @@ def zc_smooth_sharded_3d(
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y, ext_y=ext_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=int(p0),
+        with_metric=with_metric,
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
+    n_in = 4 if with_metric else 3
+    vset = None if vma is None else frozenset(vma)
+
+    def sds(shape):
+        if vset is None:
+            return jax.ShapeDtypeStruct(shape, jnp.float32)
+        return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vset)
+
+    out_shape = [sds(local_shape)]
+    if with_metric:
+        out_shape.append(sds((grid[0], grid[1], 8, 128)))
     call = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=(
-            jax.ShapeDtypeStruct(local_shape, jnp.float32)
-            if vma is None
-            else jax.ShapeDtypeStruct(local_shape, jnp.float32, vma=frozenset(vma))
-        ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
+        ]
+        + (
+            [pltpu.VMEM((2, tz, ty if ext_y else W_y, nx), jnp.float32)]
+            if with_metric
+            else []
+        )
+        + [
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.SemaphoreType.DMA((2, 1)),
+        ]
+        + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_metric else [])
+        + [
+            pltpu.SemaphoreType.DMA((2, n_in)),
+            pltpu.SemaphoreType.DMA((2, 2 if with_metric else 1)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int(nsweeps * 11 * nz * ny * nx),
@@ -1050,4 +1152,9 @@ def zc_smooth_sharded_3d(
         ),
         interpret=interpret,
     )
+    if not with_metric:
+        def apply_plain(ext_u, ext_rhs, ext_C):
+            return call(ext_u, ext_rhs, ext_C)[0]
+
+        return apply_plain
     return call

@@ -639,27 +639,118 @@ class ShardedPoissonBVP(ShardStencilKernels):
         self._zc_fns[key] = fn
         return fn
 
-    def _smooth_zc_sharded(self, u, rhs, level, n, ns_star, fz):
-        """n sweeps as passes of the per-shard kernel: one 2*ns-deep
-        halo exchange per pass instead of one boundary-plane exchange
-        per half-sweep; remainder sweeps use the XLA sharded path."""
+    def _H_map(self, nsweeps: int):
         from ..ops import pallas_zc
 
-        H_z, H_y = pallas_zc._halos(ns_star)
+        H_z, H_y = pallas_zc._halos(nsweeps)
         H_map = {0: H_z}
         if len(self.names) > 1:
             H_map[1] = H_y
-        C = self._extend_block(
-            self._zc_mask_code(u.shape, level), level, H_map
-        )
+        return H_map
+
+    def _zc_sharded_metric_fn(self, level: int, n: int):
+        """Metric-fused per-shard smoother (the final pass also emits
+        per-window |u_new - u_ref| maxima — the local du contribution),
+        or None.  Support is a subset of _zc_sharded_fn's (one more
+        double-buffered stream), so a non-None here implies the plain
+        pass compositions are available too."""
+        from ..mg.engine import _metric_fused_enabled, _pallas_min_points
+
+        key = ("met", level, n)
+        if key in self._zc_fns:
+            return self._zc_fns[key]
+        fn = None
+        if (
+            _metric_fused_enabled()
+            and self.use_pallas in ("on", "interpret")
+            and self.h.ndim == 3
+            and level < self.seam
+            and not stencils.is_all_neumann(self.bcs)
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_zc
+
+            local = self._local_shape(level)
+            H_z, H_y = pallas_zc._halos(n)
+            if all(
+                local[ax] >= (H_z if ax == 0 else H_y) + 1
+                for ax, _ in self.parts
+            ):
+                fn = pallas_zc.zc_smooth_sharded_3d(
+                    self._dq[level],
+                    local,
+                    n,
+                    stencils.first_color_parity(self.bcs),
+                    ext_y=len(self.names) > 1,
+                    interpret=(self.use_pallas == "interpret"),
+                    vma={nm for _, nm in self.parts},
+                    with_metric=True,
+                )
+        self._zc_fns[key] = fn
+        return fn
+
+    def _smooth_zc_sharded(self, u, rhs, level, n, ns_star, fz):
+        """n sweeps as passes of the per-shard kernel: one 2*ns-deep
+        halo exchange per pass instead of one boundary-plane exchange
+        per half-sweep; a remainder width gets its own (shallower-halo)
+        kernel pass, falling back to the XLA sharded path only when
+        that width is unsupported."""
+        H_map = self._H_map(ns_star)
+        C_loc = self._zc_mask_code(u.shape, level)
+        C = self._extend_block(C_loc, level, H_map)
         rhs_ext = self._extend_block(rhs, level, H_map)
         q, rem = divmod(n, ns_star)
         for _ in range(q):
             u = fz(self._extend_block(u, level, H_map), rhs_ext, C)
         if rem:
-            body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
-            u = lax.fori_loop(0, rem, body, u)
+            fr = self._zc_sharded_fn(level, rem)
+            if fr is not None:
+                Hr = self._H_map(rem)
+                u = fr(
+                    self._extend_block(u, level, Hr),
+                    self._extend_block(rhs, level, Hr),
+                    self._extend_block(C_loc, level, Hr),
+                )
+            else:
+                body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
+                u = lax.fori_loop(0, rem, body, u)
         return u
+
+    def _smooth_du(self, u, rhs, level, n, u_ref):
+        """_smooth with the local du-max contribution vs ``u_ref`` fused
+        into the final kernel pass.  Returns (u, m): m is the per-shard
+        scalar max (caller pmax-reduces), or None on any fallback —
+        pass composition is bitwise _smooth's either way."""
+        from ..mg.engine import _pallas_nsweeps
+
+        if (
+            level < self.seam
+            and u.dtype == jnp.float32
+            and n >= 1
+            and self.options.du_max
+        ):
+            ns_star = min(n, _pallas_nsweeps())
+            fz = self._zc_sharded_fn(level, ns_star)
+            rem = n % ns_star
+            last = rem if rem else ns_star
+            fm = self._zc_sharded_metric_fn(level, last)
+            if fz is not None and fm is not None:
+                head = n - last
+                if head:
+                    u = self._smooth_zc_sharded(
+                        u, rhs, level, head, ns_star, fz
+                    )
+                Hl = self._H_map(last)
+                u, mt = fm(
+                    self._extend_block(u, level, Hl),
+                    self._extend_block(rhs, level, Hl),
+                    self._extend_block(
+                        self._zc_mask_code(u.shape, level), level, Hl
+                    ),
+                    u_ref,
+                )
+                return u, jnp.max(mt)
+        return self._smooth(u, rhs, level, n), None
 
     def _smooth(self, u, rhs, level, n):
         if level < self.seam:
@@ -790,12 +881,29 @@ class ShardedPoissonBVP(ShardStencilKernels):
         return tuple(shape)
 
     def _vcycle(self, u, rhs, ex_tol, nmax_exact):
+        u, noconv, _ = self._vcycle_core(u, rhs, ex_tol, nmax_exact, None)
+        return u, noconv
+
+    def _vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
+        """_vcycle + the du metric vs ``u_ref`` — the max metric's local
+        contribution fused into the final post-smooth kernel pass when
+        supported (jnp.max + pmax of the kernel's per-window maxima is
+        BITWISE the _metric value), the XLA _metric otherwise."""
+        u_new, noconv, m = self._vcycle_core(u, rhs, ex_tol, nmax_exact, u_ref)
+        if m is not None:
+            du = lax.pmax(m, self.names)
+        else:
+            du = self._metric(u_new, u_ref, 0)
+        return u_new, noconv, du
+
+    def _vcycle_core(self, u, rhs, ex_tol, nmax_exact, u_ref):
         L = self.h.ngrids
         ms = self.options.ms
         dtype = u.dtype
         us = [None] * L
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
+        m = None
         for l in range(L - 1):
             ul = self._smooth(us[l], rhss[l], l, ms)
             r = (
@@ -812,8 +920,11 @@ class ShardedPoissonBVP(ShardStencilKernels):
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
             cor = self._prolong(uc, l)
-            us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
-        return us[0], noconv
+            if l == 0 and u_ref is not None:
+                us[0], m = self._smooth_du(us[0] + cor, rhss[0], 0, ms, u_ref)
+            else:
+                us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
+        return us[0], noconv, m
 
     def _cycle_mixed(self, u, rhs, ex_tol, nmax_exact):
         """One defect group with a single inner V-cycle (the strict
@@ -854,8 +965,9 @@ class ShardedPoissonBVP(ShardStencilKernels):
 
         def body(c):
             e, du_e, k, nc = c
-            e_new, noconv = self._vcycle(e, r32, ex_tol_eff, nmax_exact)
-            du_new = self._metric(e_new, e, 0)
+            e_new, noconv, du_new = self._vcycle_du(
+                e, r32, ex_tol_eff, nmax_exact, e
+            )
             return (e_new, du_new, k + 1, nc | noconv)
 
         init = (e0, big32, jnp.int32(0), self._vary(jnp.asarray(False)))
@@ -941,8 +1053,9 @@ class ShardedPoissonBVP(ShardStencilKernels):
 
         def body(c):
             e, du_e, k, nc = c
-            e_new, noconv = self._vcycle(e, r32, ex_tol_eff, nmax_exact)
-            du_new = self._metric(e_new, e, 0)
+            e_new, noconv, du_new = self._vcycle_du(
+                e, r32, ex_tol_eff, nmax_exact, e
+            )
             return (e_new, du_new, k + 1, nc | noconv)
 
         init = (e0, big32, jnp.int32(0), self._vary(jnp.asarray(False)))
@@ -1042,8 +1155,9 @@ class ShardedPoissonBVP(ShardStencilKernels):
                     u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max
                 )
             else:
-                u_new, noconv = self._vcycle(u, rhs, ex_tol, nmax_exact)
-                du = self._metric(u_new, u, 0)
+                u_new, noconv, du = self._vcycle_du(
+                    u, rhs, ex_tol, nmax_exact, u
+                )
                 ncyc = jnp.int32(1)
             return (u_new, du, it + ncyc, flag | noconv)
 
@@ -1079,8 +1193,9 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 )
             )
         else:
-            cycleB = jax.vmap(lambda u, r: self._vcycle(u, r, ex_tol, nmax_exact))
-            metricB = jax.vmap(lambda a, b: self._metric(a, b, 0))
+            cycleB = jax.vmap(
+                lambda u, r: self._vcycle_du(u, r, ex_tol, nmax_exact, u)
+            )
 
         def active_of(du, it):
             return jnp.logical_and(it < nmax, du >= vc_tol)
@@ -1095,8 +1210,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
             if mixed:
                 u_new, noconv, du_new, ncyc = groupB(u, rhs, it)
             else:
-                u_new, noconv = cycleB(u, rhs)
-                du_new = metricB(u_new, u)
+                u_new, noconv, du_new = cycleB(u, rhs)
                 ncyc = jnp.ones((B,), jnp.int32)
             sel = active.reshape((B,) + (1,) * (u.ndim - 1))
             u = jnp.where(sel, u_new, u)

@@ -238,3 +238,46 @@ def test_staged_kernel_fallback_chain(monkeypatch):
     u_b, info_b = fb.solve(u0, rhs)
     np.testing.assert_array_equal(np.asarray(u_a), np.asarray(u_b))
     assert info_a.cycles == info_b.cycles
+
+
+@pytest.mark.parametrize("axes", [1, 2])
+def test_sharded_metric_fused_bitwise(monkeypatch, axes):
+    """Sharded engine: the metric-fused final pass is bitwise-invisible
+    (identical solves/cycles vs NDSM_TPU_METRIC_FUSED=0, whose du comes
+    from the XLA local-max + pmax path)."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh, make_mesh_nd
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(14)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    if axes == 1:
+        mesh, names = make_mesh(4), ("z",)
+    else:
+        mesh, names = make_mesh_nd((2, 2), ("z", "y")), ("z", "y")
+    opts = Options(precision="fp32", vc_tol=1e-5, ncycles_max=12, ms=3)
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    sp = ShardedPoissonBVP(
+        h, bcs, opts, mesh=mesh, axis_names=names, min_rows_per_shard=2
+    )
+    assert sp._zc_sharded_metric_fn(0, 1) is not None  # rem width of ms=3
+    u_f, info_f = sp.solve(u0, rhs)
+
+    monkeypatch.setenv("NDSM_TPU_METRIC_FUSED", "0")
+    so = ShardedPoissonBVP(
+        h, bcs, opts, mesh=mesh, axis_names=names, min_rows_per_shard=2
+    )
+    assert so._zc_sharded_metric_fn(0, 1) is None
+    assert so._zc_sharded_fn(0, 2) is not None  # kernel stack still on
+    u_o, info_o = so.solve(u0, rhs)
+    monkeypatch.delenv("NDSM_TPU_METRIC_FUSED")
+    assert info_f.cycles == info_o.cycles
+    assert info_f.du_last == info_o.du_last
+    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_o))
