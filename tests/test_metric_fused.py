@@ -23,6 +23,7 @@ from ndsm_tpu.ops import stencils
         ((16, 16, 32), (("D", "D"), ("D", "D"), ("D", "D")), 1),
         ((16, 24, 32), (("N", "N"), ("D", "D"), ("N", "D")), 2),
         ((12, 16, 32), (("D", "N"), ("N", "D"), ("D", "D")), 3),
+        ((16, 16, 32), (("D", "D"), ("D", "D"), ("D", "N")), 2),  # flips first color
     ],
 )
 def test_metric_kernel_bitwise(shape, bcs, ns):
