@@ -282,3 +282,65 @@ def test_sharded_metric_fused_bitwise(monkeypatch, axes):
     assert info_f.cycles == info_o.cycles
     assert info_f.du_last == info_o.du_last
     np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_o))
+
+
+def test_toggle_bitwise_padded_golden_class(monkeypatch):
+    """End-to-end mixed solve at a padded golden-class size (22^3):
+    NDSM_TPU_METRIC_FUSED on/off must be bitwise-identical — this is the
+    exact invariance the on-chip golden tables rely on."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.mg.poisson import PoissonBVP, _ENGINE_CACHE
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 22
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(15)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    opts = Options(precision="mixed", vc_tol=1e-10, ncycles_max=40)
+
+    u_f, info_f = PoissonBVP(h, bcs, opts).solve(u0, rhs)
+    monkeypatch.setenv("NDSM_TPU_METRIC_FUSED", "0")
+    _ENGINE_CACHE.clear()  # the toggle is engine-construction-time
+    u_o, info_o = PoissonBVP(h, bcs, opts).solve(u0, rhs)
+    monkeypatch.delenv("NDSM_TPU_METRIC_FUSED")
+    _ENGINE_CACHE.clear()
+    assert info_f.cycles == info_o.cycles
+    assert info_f.du_last == info_o.du_last
+    np.testing.assert_array_equal(np.asarray(u_f), np.asarray(u_o))
+
+
+def test_batched_metric_padded_bitwise(monkeypatch):
+    """MultiBCSolver at a padded (unaligned) size: per-lane fused du
+    bitwise equals the XLA per-lane metric, swept state unchanged."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.mg.batched import MultiBCSolver
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 20
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs_list = [
+        tuple(("N", "N") if (2 - ax) == c else ("D", "D") for ax in range(3))
+        for c in range(3)
+    ]
+    mbs = MultiBCSolver(h, bcs_list, Options(precision="mixed"))
+    assert mbs._padded[0]
+    w0 = mbs._work_shapes[0]
+    rng = np.random.default_rng(16)
+
+    def work(a):
+        out = np.zeros((3,) + w0, np.float32)
+        out[:, :n, :n, :n] = a
+        return jnp.asarray(out)
+
+    e = work(rng.standard_normal((3, n, n, n)))
+    r = work(rng.standard_normal((3, n, n, n)))
+    u1, _ = mbs._vcycle(e, r, 1e-6, 50)
+    u2, _, du = mbs._vcycle_du(e, r, 1e-6, 50, e)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    np.testing.assert_array_equal(np.asarray(du), np.asarray(mbs._metric(u1, e)))
