@@ -801,14 +801,15 @@ def zc_smooth_cor_metric_3d(
 
 def pick_tiles_zc_sharded(
     local_shape: Tuple[int, int, int], nsweeps: int, ext_y: bool,
-    with_metric: bool = False,
+    with_metric: bool = False, residual: bool = False,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y) over the REAL local block; windows read from
     the extended block.  Budget counts 3 double-buffered streams (u,
     rhs, C) plus the split work arrays (and the metric variant's
-    double-buffered reference window)."""
+    double-buffered reference window; the residual variant's extra live
+    halves, like the dense kernel's)."""
     nz, ny, nx = local_shape
-    H_z, H_y = _halos(nsweeps)
+    H_z, H_y = _halos(nsweeps, residual)
     best, best_frac = None, 0.0
     for tz in range(2, min(nz, 256) + 1, 2):
         if nz % tz:
@@ -820,8 +821,9 @@ def pick_tiles_zc_sharded(
             wy = ty + 2 * H_y if ext_y else min(ny, ty + 2 * H_y)
             if wz % 2 or wy % 8:
                 continue
+            units = 13 if residual else 10
             extra = 2 * tz * (ty if ext_y else wy) * nx * 4 if with_metric else 0
-            if 10 * wz * wy * nx * 4 + extra > _VMEM_BUDGET:
+            if units * wz * wy * nx * 4 + extra > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:
@@ -831,11 +833,13 @@ def pick_tiles_zc_sharded(
 
 def zc_sharded_supported(
     local_shape, dtype, nsweeps: int, ext_y: bool, interpret: bool = False,
-    with_metric: bool = False,
+    with_metric: bool = False, residual: bool = False,
 ) -> bool:
     if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     if nsweeps < 1 or nsweeps > 8:
+        return False
+    if with_metric and residual:
         return False
     nz, ny, nx = local_shape
     if nz % 2 or ny % 8:
@@ -843,7 +847,9 @@ def zc_sharded_supported(
     if not interpret and nx % 128 != 0:
         return False
     return (
-        pick_tiles_zc_sharded(tuple(local_shape), nsweeps, ext_y, with_metric)
+        pick_tiles_zc_sharded(
+            tuple(local_shape), nsweeps, ext_y, with_metric, residual
+        )
         is not None
     )
 
@@ -853,9 +859,9 @@ def _zc_sharded_kernel(
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     H_z: int, H_y: int, ext_y: bool,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
-    with_metric: bool = False,
+    with_metric: bool = False, residual: bool = False,
 ):
-    # Ref layout: inputs (u, rhs, C[, uref]), outputs (out[, met]),
+    # Ref layout: inputs (u, rhs, C[, uref]), outputs (out[, res|met]),
     # scratch (bufU, bufR, bufC[, bufT], work arrays[, bufM], sems).
     u_hbm, rhs_hbm, c_hbm = refs[0], refs[1], refs[2]
     refs = refs[3:]
@@ -863,9 +869,11 @@ def _zc_sharded_kernel(
     if with_metric:
         uref_hbm, refs = refs[0], refs[1:]
     out_ref, refs = refs[0], refs[1:]
-    met_ref = None
+    met_ref = res_ref = None
     if with_metric:
         met_ref, refs = refs[0], refs[1:]
+    elif residual:
+        res_ref, refs = refs[0], refs[1:]
     bufU, bufR, bufC = refs[0], refs[1], refs[2]
     refs = refs[3:]
     bufT = None
@@ -937,6 +945,14 @@ def _zc_sharded_kernel(
             dmas.append(
                 pltpu.make_async_copy(
                     bufM.at[slot], met_ref.at[ii, jj], out_sems.at[slot, i32(1)]
+                )
+            )
+        if residual:
+            # the rhs window buffer carries the interleaved residual
+            # once the sweeps have consumed it (the dense kernel's trick)
+            dmas.append(
+                pltpu.make_async_copy(
+                    bufR.at[src], res_ref.at[dst], out_sems.at[slot, i32(1)]
                 )
             )
         return dmas
@@ -1015,6 +1031,36 @@ def _zc_sharded_kernel(
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
 
+    if residual:
+        # Residual of the swept state while it is in VMEM — the dense
+        # kernel's residual fusion on the extended-block formulation:
+        # post-sweep neighbor reads land inside the (2n+1)-deep halo,
+        # where the mirror/exchange fill keeps them valid for exactly
+        # nsweeps sweeps; frozen (Dirichlet) points carry r = 0.
+        two = jnp.float32(2.0)
+
+        def res_half(own, opp, rhs_own, mask, own_is_first: bool):
+            o1 = t1 if own_is_first else ~t1
+            dn = _shift_clamp_z(opp, -1)
+            up = _shift_clamp_z(opp, +1)
+            z_dn = jnp.where(o1, opp, dn)
+            z_up = jnp.where(o1, up, opp)
+            y_lo, y_hi = _shift_edge(opp, 1)
+            x_lo, x_hi = _shift_edge(opp, 2)
+            lap = (
+                (z_dn - two * own + z_up) * jnp.float32(w[0])
+                + (y_lo - two * own + y_hi) * jnp.float32(w[1])
+                + (x_lo - two * own + x_hi) * jnp.float32(w[2])
+            )
+            r = rhs_own - lap
+            return jnp.where(mask, r, jnp.float32(0.0))
+
+        res_R = res_half(R, B, rR, M_R, True)
+        res_B = res_half(B, R, rB, M_B, False)
+        rE = jnp.where(t1, res_B, res_R)
+        rO = jnp.where(t1, res_R, res_B)
+        bufR[slot] = jnp.stack([rE, rO], axis=1).reshape(W_z, W_y, nx)
+
     if with_metric:
         # Per-window max of |u_new - u_ref| over the REAL tile (the
         # sharded du metric's local contribution; the engine reduces
@@ -1065,6 +1111,7 @@ def zc_smooth_sharded_3d(
     interpret: bool = False,
     vma=None,
     with_metric: bool = False,
+    residual: bool = False,
 ):
     """Build the per-shard smoother, or None if unsupported.  Returns
     call(ext_u, ext_rhs, ext_C) -> u over the REAL local block, where
@@ -1081,29 +1128,34 @@ def zc_smooth_sharded_3d(
     max_tiles) additionally streams the REAL-block reference iterate
     and emits per-window maxima of |u_new - u_ref| (the local du
     contribution; jnp.max + lax.pmax over shards is BITWISE the XLA
-    metric — see zc_smooth_metric_3d)."""
+    metric — see zc_smooth_metric_3d).
+
+    ``residual``: call(ext_u, ext_rhs, ext_C) -> (u, r) additionally
+    emits the residual of the swept state over the real block (the
+    V-cycle descent's smooth+residual in one pass; inputs need the
+    deeper 2*nsweeps+1 halo — see _halos)."""
     local_shape = tuple(int(s) for s in local_shape)
     if not zc_sharded_supported(
         local_shape, dtype, nsweeps, ext_y, interpret=interpret,
-        with_metric=with_metric,
+        with_metric=with_metric, residual=residual,
     ):
         return None
     nz, ny, nx = local_shape
     tz, ty, W_z, W_y = pick_tiles_zc_sharded(
-        local_shape, nsweeps, ext_y, with_metric
+        local_shape, nsweeps, ext_y, with_metric, residual
     )
     dq = np.asarray(dq, dtype=np.float64)
     w32 = (1.0 / (dq * dq)).astype(np.float32)
     w = tuple(float(x) for x in w32)
     w0 = float(np.float32(1.0) / (np.float32(2.0) * np.sum(w32)))
-    H_z, H_y = _halos(nsweeps)
+    H_z, H_y = _halos(nsweeps, residual)
 
     kernel = functools.partial(
         _zc_sharded_kernel,
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y, ext_y=ext_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=int(p0),
-        with_metric=with_metric,
+        with_metric=with_metric, residual=residual,
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
@@ -1118,6 +1170,8 @@ def zc_smooth_sharded_3d(
     out_shape = [sds(local_shape)]
     if with_metric:
         out_shape.append(sds((grid[0], grid[1], 8, 128)))
+    elif residual:
+        out_shape.append(sds(local_shape))
     call = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1143,16 +1197,16 @@ def zc_smooth_sharded_3d(
         + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_metric else [])
         + [
             pltpu.SemaphoreType.DMA((2, n_in)),
-            pltpu.SemaphoreType.DMA((2, 2 if with_metric else 1)),
+            pltpu.SemaphoreType.DMA((2, 2 if (with_metric or residual) else 1)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int(nsweeps * 11 * nz * ny * nx),
-            bytes_accessed=int(4 * 4 * nz * ny * nx),
+            flops=int((nsweeps + (1 if residual else 0)) * 11 * nz * ny * nx),
+            bytes_accessed=int((n_in + len(out_shape)) * 4 * nz * ny * nx),
             transcendentals=0,
         ),
         interpret=interpret,
     )
-    if not with_metric:
+    if not (with_metric or residual):
         def apply_plain(ext_u, ext_rhs, ext_C):
             return call(ext_u, ext_rhs, ext_C)[0]
 

@@ -716,6 +716,84 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 u = lax.fori_loop(0, rem, body, u)
         return u
 
+    def _zc_sharded_res_fn(self, level: int, n: int):
+        """Residual-fused per-shard smoother (n sweeps + the residual of
+        the swept state in one pass over a 2n+1-deep halo), or None."""
+        from ..mg.engine import _pallas_min_points
+
+        key = ("res", level, n)
+        if key in self._zc_fns:
+            return self._zc_fns[key]
+        fn = None
+        if (
+            self.use_pallas in ("on", "interpret")
+            and self.h.ndim == 3
+            and level < self.seam
+            and not stencils.is_all_neumann(self.bcs)
+            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
+        ):
+            from ..ops import pallas_zc
+
+            local = self._local_shape(level)
+            H_z, H_y = pallas_zc._halos(n, True)
+            if all(
+                local[ax] >= (H_z if ax == 0 else H_y) + 1
+                for ax, _ in self.parts
+            ):
+                fn = pallas_zc.zc_smooth_sharded_3d(
+                    self._dq[level],
+                    local,
+                    n,
+                    stencils.first_color_parity(self.bcs),
+                    ext_y=len(self.names) > 1,
+                    interpret=(self.use_pallas == "interpret"),
+                    vma={nm for _, nm in self.parts},
+                    residual=True,
+                )
+        self._zc_fns[key] = fn
+        return fn
+
+    def _smooth_residual_sh(self, u, rhs, level, n):
+        """n pre-smooth sweeps + the residual, the residual fused into
+        the final kernel pass (one deeper exchange replaces the separate
+        masked residual's per-axis boundary exchanges + full-array XLA
+        pass).  Returns (u, r); falls back to _smooth + the masked
+        residual when the fused kernel is unavailable."""
+        from ..mg.engine import _pallas_nsweeps
+        from ..ops import pallas_zc
+
+        if level < self.seam and u.dtype == jnp.float32 and n >= 1:
+            ns_star = min(n, _pallas_nsweeps())
+            rem = n % ns_star
+            last = rem if rem else ns_star
+            fz = self._zc_sharded_fn(level, ns_star)
+            fr = self._zc_sharded_res_fn(level, last)
+            if fz is not None and fr is not None:
+                head = n - last
+                if head:
+                    u = self._smooth_zc_sharded(
+                        u, rhs, level, head, ns_star, fz
+                    )
+                H_z, H_y = pallas_zc._halos(last, True)
+                H = {0: H_z}
+                if len(self.names) > 1:
+                    H[1] = H_y
+                u, r = fr(
+                    self._extend_block(u, level, H),
+                    self._extend_block(rhs, level, H),
+                    self._extend_block(
+                        self._zc_mask_code(u.shape, level), level, H
+                    ),
+                )
+                return u, r
+        ul = self._smooth(u, rhs, level, n)
+        r = (
+            self._sharded_residual(ul, rhs, level)
+            if level < self.seam
+            else stencils.poisson_residual(ul, rhs, self._dq[level], self.bcs)
+        )
+        return ul, r
+
     def _smooth_du(self, u, rhs, level, n, u_ref):
         """_smooth with the local du-max contribution vs ``u_ref`` fused
         into the final kernel pass.  Returns (u, m): m is the per-shard
@@ -905,12 +983,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
         us[0], rhss[0] = u, rhs
         m = None
         for l in range(L - 1):
-            ul = self._smooth(us[l], rhss[l], l, ms)
-            r = (
-                self._sharded_residual(ul, rhss[l], l)
-                if l < self.seam
-                else stencils.poisson_residual(ul, rhss[l], self._dq[l], self.bcs)
-            )
+            ul, r = self._smooth_residual_sh(us[l], rhss[l], l, ms)
             rhss[l + 1] = self._restrict(r, l)
             us[l] = ul
             us[l + 1] = self._vary(

@@ -344,3 +344,46 @@ def test_batched_metric_padded_bitwise(monkeypatch):
     u2, _, du = mbs._vcycle_du(e, r, 1e-6, 50, e)
     np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
     np.testing.assert_array_equal(np.asarray(du), np.asarray(mbs._metric(u1, e)))
+
+
+@pytest.mark.parametrize("axes", [1, 2])
+def test_sharded_residual_fused_descent(monkeypatch, axes):
+    """The residual-fused sharded descent (one deep exchange + in-VMEM
+    residual) must build, and the solve must match the XLA sharded
+    engine exactly like the other kernel fusions (cycle parity + 5e-5)."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh, make_mesh_nd
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(17)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    if axes == 1:
+        mesh, names = make_mesh(4), ("z",)
+    else:
+        mesh, names = make_mesh_nd((2, 2), ("z", "y")), ("z", "y")
+    opts = Options(precision="fp32", vc_tol=1e-5, ncycles_max=12, ms=2)
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    sp = ShardedPoissonBVP(
+        h, bcs, opts, mesh=mesh, axis_names=names, min_rows_per_shard=2
+    )
+    assert sp._zc_sharded_res_fn(0, 2) is not None  # ms=2: fused last=2
+    u_p, info_p = sp.solve(u0, rhs)
+
+    monkeypatch.delenv("NDSM_TPU_PALLAS")
+    monkeypatch.delenv("NDSM_TPU_PALLAS_MIN_POINTS")
+    sx = ShardedPoissonBVP(
+        h, bcs, opts, mesh=mesh, axis_names=names, min_rows_per_shard=2
+    )
+    u_x, info_x = sx.solve(u0, rhs)
+    assert info_p.ierr == 0 and info_x.ierr == 0
+    assert info_p.cycles == info_x.cycles
+    np.testing.assert_allclose(
+        np.asarray(u_p), np.asarray(u_x), rtol=0, atol=5e-5
+    )
