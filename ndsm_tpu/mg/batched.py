@@ -856,16 +856,6 @@ class MultiBCSolver:
         u, _, du, _ = lax.while_loop(cond, body, init)
         return u, du > ex_tol
 
-    def _cycle(self, u, rhs, ex_tol, nmax_exact):
-        if self.mode == "fp64":
-            return self._vcycle(u, rhs, ex_tol, nmax_exact)
-        u_new, noconv, _, _ = self._mixed_group(
-            u, rhs, ex_tol, nmax_exact,
-            jnp.asarray(0.0, self.outer_dtype),
-            jnp.zeros((self.B,), jnp.int32), jnp.int32(1), 1,
-        )
-        return u_new, noconv
-
     def _mixed_group(self, u, rhs, ex_tol, nmax_exact, vc_tol, it_vec, nmax, inner_max):
         """Per-lane f64 defect correction supported by up to
         ``inner_max`` f32 V-cycles (PoissonBVP._mixed_group with explicit

@@ -235,17 +235,6 @@ class PoissonBVP:
 
     # ------------------------------------------------------------------
 
-    def _cycle_body_mixed(self, u, rhs, ex_tol, nmax_exact):
-        """One defect group with a single inner V-cycle (the strict
-        mixed iteration; kept for the reduced drivers and as the
-        inner_max=1 case of ``_mixed_group``)."""
-        u_new, noconv, _, _, _ = self._mixed_group(
-            u, rhs, ex_tol, nmax_exact,
-            jnp.asarray(0.0, self.outer_dtype),
-            jnp.int32(0), jnp.int32(1), 1, None,
-        )
-        return u_new, noconv
-
     def _mixed_group(
         self, u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max, hist
     ):
@@ -684,17 +673,7 @@ class PoissonBVP:
         except Exception as e:
             if not (self._pallas_active() and self._is_kernel_compile_error(e)):
                 raise
-            fb = self._kernel_fallback()
-            warn(
-                "ndsm_tpu: Pallas kernel failed to compile for "
-                f"{self.h.fine_shape}; retrying with "
-                + (
-                    "the metric fusion disabled"
-                    if getattr(fb._inner, "use_pallas", "off") != "off"
-                    else "the XLA smoother"
-                )
-            )
-            return fb.solve_batch(
+            return self._kernel_fallback().solve_batch(
                 u0s,
                 rhss,
                 vc_tol=vc_tol,
@@ -755,7 +734,7 @@ class PoissonBVP:
         """Staged compile-failure recovery: first drop ONLY the metric-
         fused variant (the newest kernel; the rest of the stack
         survives), then — via the fallback's own except chain — the
-        whole Pallas stack."""
+        whole Pallas stack.  Emits the stage-appropriate warning."""
         if getattr(self._inner, "metric_fused", False):
             fb = getattr(self, "_fallback_nometric", None)
             if fb is None:
@@ -767,8 +746,15 @@ class PoissonBVP:
                     _metric_fused=False,
                 )
                 self._fallback_nometric = fb
-            return fb
-        return self._xla_fallback()
+            stage = "the metric fusion disabled"
+        else:
+            fb = self._xla_fallback()
+            stage = "the XLA smoother"
+        warn(
+            "ndsm_tpu: Pallas kernel failed to compile for "
+            f"{self.h.fine_shape}; retrying with {stage}"
+        )
+        return fb
 
     def solve(self, u0, rhs, **kw):
         """See ``_solve_checked`` for the full signature.  Falls back to
@@ -779,17 +765,7 @@ class PoissonBVP:
         except Exception as e:
             if not (self._pallas_active() and self._is_kernel_compile_error(e)):
                 raise
-            fb = self._kernel_fallback()
-            warn(
-                "ndsm_tpu: Pallas kernel failed to compile for "
-                f"{self.h.fine_shape}; retrying with "
-                + (
-                    "the metric fusion disabled"
-                    if getattr(fb._inner, "use_pallas", "off") != "off"
-                    else "the XLA smoother"
-                )
-            )
-            return fb.solve(u0, rhs, **kw)
+            return self._kernel_fallback().solve(u0, rhs, **kw)
 
     def _solve_checked(
         self,

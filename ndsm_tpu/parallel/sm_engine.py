@@ -999,15 +999,6 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
         return us[0], noconv, m
 
-    def _cycle_mixed(self, u, rhs, ex_tol, nmax_exact):
-        """One defect group with a single inner V-cycle (the strict
-        mixed iteration; the inner_max=1 case of ``_mixed_group``)."""
-        u_new, noconv, _, _ = self._mixed_group(
-            u, rhs, ex_tol, nmax_exact,
-            jnp.asarray(0.0, self.dtype), jnp.int32(0), jnp.int32(1), 1,
-        )
-        return u_new, noconv
-
     def _mixed_group(self, u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max):
         """f64 defect correction supported by up to ``inner_max`` f32
         V-cycles (the sharded analogue of PoissonBVP._mixed_group: the

@@ -117,6 +117,7 @@ def phase_breakdown(n, K=20):
 
 def main(sizes):
     rng = np.random.default_rng(3)
+    ok = True
     for n in sizes:
         print(f"== mixed component-style solve, {n}^3, metric fused vs not ==",
               flush=True)
@@ -135,6 +136,7 @@ def main(sizes):
             )
         same = np.array_equal(results[True][0], results[False][0])
         cyc = results[True][1].cycles == results[False][1].cycles
+        ok = ok and same and cyc
         print(f"  bitwise-identical solutions: {same}  cycle parity: {cyc}")
         print(
             f"  speedup from metric fusion: "
@@ -142,6 +144,11 @@ def main(sizes):
             flush=True,
         )
     os.environ.pop("NDSM_TPU_METRIC_FUSED", None)
+    if not ok:
+        # the round's core invariant failed — make the runbook's
+        # exit-code line show it, not just the log body
+        print("PARITY FAILURE: fused vs unfused solves differ", flush=True)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -29,7 +29,14 @@ while :; do
   timeout 2400 python3 -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.sum(jnp.ones((8,128)))))" >> r4_logs/wait.log 2>&1
   rc=$?
   if [ $rc -eq 0 ]; then
+    # Re-check the clock AFTER the (possibly ~40-min) claim: never
+    # launch anything past DEADLINE, and keep even the reduced (~1.5 h)
+    # book from overrunning it.
     now=$(date +%s)
+    if [ "$DEADLINE" -gt 0 ] && [ "$now" -ge $((DEADLINE - 5700)) ]; then
+      echo "[$(date +%F' '%T)] claim succeeded but too close to the deadline; not launching" >> r4_logs/wait.log
+      exit 1
+    fi
     if [ "$FULL_UNTIL" -gt 0 ] && [ "$now" -ge "$FULL_UNTIL" ]; then
       book=scripts/tpu_runbook_reduced.sh
     else
