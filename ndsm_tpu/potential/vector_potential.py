@@ -399,7 +399,6 @@ def compute_vector_potential(
     host_curl = (
         bool(getattr(options, "host_curl", False))
         and int(options.flux_correction_order) == 0
-        and out_dtype == "float64"
         and dist is None
     )
     if host_curl:
@@ -447,7 +446,11 @@ def compute_vector_potential(
         with _cf.ThreadPoolExecutor(len(tasks)) as _ex:
             list(_ex.map(_fetch, range(len(tasks))))
         A = host
-        B = curl_np(A, tuple(float(v) for v in dq))
+        # Differencing is computed in f64 even for float32 outputs (the
+        # f32 download already rounded A; don't add f32 differencing
+        # rounding on top), then cast back to the requested dtype.
+        B = curl_np(A.astype(np.float64, copy=False), tuple(float(v) for v in dq))
+        B = B.astype(out_dtype, copy=False)
     else:
         A, B = _phase_post(
             A,

@@ -11,14 +11,32 @@ the previous in-graph ``jax.debug.print`` warnings were silently lost).
 
 from __future__ import annotations
 
+import contextlib
 import sys
 
-__all__ = ["warn", "debug_msg", "error_msg"]
+__all__ = ["warn", "debug_msg", "error_msg", "suppress_warnings"]
+
+_suppressed = False
+
+
+@contextlib.contextmanager
+def suppress_warnings():
+    """Silence :func:`warn` inside the block.  For callers that run
+    solves with deliberately unreachable tolerances (dryruns, smoke
+    tests cap ncycles_max), where the reference's non-convergence
+    warnings are expected noise rather than a diagnostic."""
+    global _suppressed
+    prev, _suppressed = _suppressed, True
+    try:
+        yield
+    finally:
+        _suppressed = prev
 
 
 def warn(msg: str) -> None:
     """Bare warning line (reference: ``PRINT *``, ndsm_poisson.f90:149)."""
-    print(msg, file=sys.stderr, flush=True)
+    if not _suppressed:
+        print(msg, file=sys.stderr, flush=True)
 
 
 def debug_msg(sub: str, msg: str) -> None:

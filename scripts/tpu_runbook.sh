@@ -1,0 +1,73 @@
+#!/bin/bash
+# TPU measurement runbook — ONE parameterized queue script (replaces the
+# former r4/r6/r6b/reduced runbooks).
+#
+#   scripts/tpu_runbook.sh [QUEUE]      QUEUE in: full | headline | perf |
+#                                       reduced  (default: full)
+#
+# Rules (CLAUDE.md): serial — one TPU process at a time; generous
+# timeouts (killing a client mid-compile can wedge the shared compile
+# service); logs under logs/ (gitignored).  Exit status: 0 only if every
+# step of the queue exited 0 (parity failures in perf scripts surface
+# here).
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs
+QUEUE=${1:-full}
+fail=0
+
+step() {
+  name=$1; tmo=$2; shift 2
+  echo "=== $name (timeout ${tmo}s) ==="
+  timeout "$tmo" "$@" >"logs/$name.log" 2>&1
+  rc=$?
+  [ $rc -ne 0 ] && fail=1
+  echo "    exit=$rc (log: logs/$name.log)"
+}
+
+probe() {
+  # First-call backend init + one tiny remote compile: allow the full
+  # "tens of seconds to minutes, high variance" window before declaring
+  # the chip down (a short timeout here can kill a healthy client
+  # mid-compile and wedge the service).  Unique sentinel, anchored grep.
+  step probe 900 python3 -c "import jax, jax.numpy as jnp; print(jax.devices()); print('PROBE_OK', float(jnp.sum(jnp.ones((8,128)))))"
+  grep -q "PROBE_OK 1024.0" logs/probe.log || { echo "TPU not available; aborting"; exit 1; }
+}
+
+q_headline() {
+  # Golden-gated headline bench: digit re-verification + f32-download
+  # mode + 256^3/512^3 smoother SoL fields.
+  NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_REPS=2 NDSM_BENCH_N=220 step bench_220 3400 python3 bench.py
+}
+
+q_perf() {
+  # Metric fusion keep/cut data: default groups, strict mode, batched.
+  step perf_r5 1800 python3 scripts/perf_r5.py 256
+  step perf_r5_phases 1200 python3 scripts/perf_r5.py --phases 256
+  # Sharded-engine single-shard overhead anchor (VERDICT r2 item 7).
+  step perf_shard1 1800 python3 scripts/perf_shard1.py 256
+}
+
+q_digits() {
+  step digits_max  5400 python3 examples/integration_scaling.py --warm --scales 7.3 8 10 --out logs/rows_max.txt
+  step digits_diff_max 60 python3 scripts/compare_golden.py logs/rows_max.txt /root/reference/tests/integration_test/results_test1.txt
+  step digits_mean 5400 python3 examples/integration_scaling.py --warm --mean --scales 7.3 8 10 --out logs/rows_mean.txt
+  step digits_diff_mean 60 python3 scripts/compare_golden.py logs/rows_mean.txt /root/reference/tests/integration_test/results_test2.txt
+}
+
+case "$QUEUE" in
+  headline) probe; q_headline ;;
+  perf)     probe; q_perf ;;
+  reduced)  probe; q_perf; q_headline ;;
+  full)
+    probe
+    q_headline
+    q_perf
+    NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 step bench_512 3400 python3 bench.py
+    q_digits
+    ;;
+  *) echo "unknown queue: $QUEUE"; exit 2 ;;
+esac
+
+echo "=== runbook '$QUEUE' complete (fail=$fail); see logs/ ==="
+exit $fail

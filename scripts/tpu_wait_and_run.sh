@@ -3,18 +3,18 @@
 # queue.  Serial by design: one probe OR one runbook is the only TPU
 # client at any moment (CLAUDE.md: one TPU-using process at a time).
 #
-# Deadline-aware (v3): NDSM_WAIT_DEADLINE / NDSM_WAIT_FULL_UNTIL are
-# epoch seconds.  After FULL_UNTIL only the reduced runbook (~1.5 h)
-# launches; after DEADLINE nothing launches and the waiter exits, so a
-# driver-run bench.py at round end never contends with our processes.
+# Deadline-aware: NDSM_WAIT_DEADLINE / NDSM_WAIT_FULL_UNTIL are epoch
+# seconds.  After FULL_UNTIL only the reduced queue (~1.5 h) launches;
+# after DEADLINE nothing launches and the waiter exits, so a driver-run
+# bench.py at round end never contends with our processes.
 #
-# Claim behavior observed this round: the pool alternates between
+# Claim behavior observed (rounds 4-5): the pool alternates between
 # refusing fast (rc=1 "Unavailable") and hanging at the claim (rc=124).
 # Patient 40-min attempts catch the chip the moment it frees; 20-min
 # quiet gaps leave recovery room between attempts.
 set -u
 cd "$(dirname "$0")/.."
-mkdir -p r4_logs
+mkdir -p logs
 
 DEADLINE=${NDSM_WAIT_DEADLINE:-0}
 FULL_UNTIL=${NDSM_WAIT_FULL_UNTIL:-0}
@@ -22,31 +22,30 @@ FULL_UNTIL=${NDSM_WAIT_FULL_UNTIL:-0}
 while :; do
   now=$(date +%s)
   if [ "$DEADLINE" -gt 0 ] && [ "$now" -ge "$DEADLINE" ]; then
-    echo "[$(date +%F' '%T)] deadline reached; waiter exiting" >> r4_logs/wait.log
+    echo "[$(date +%F' '%T)] deadline reached; waiter exiting" >> logs/wait.log
     exit 1
   fi
-  echo "[$(date +%F' '%T)] patient claim attempt (40 min)" >> r4_logs/wait.log
-  timeout 2400 python3 -c "import jax, jax.numpy as jnp; print(jax.devices()); print(float(jnp.sum(jnp.ones((8,128)))))" >> r4_logs/wait.log 2>&1
+  echo "[$(date +%F' '%T)] patient claim attempt (40 min)" >> logs/wait.log
+  timeout 2400 python3 -c "import jax, jax.numpy as jnp; print(jax.devices()); print('PROBE_OK', float(jnp.sum(jnp.ones((8,128)))))" >> logs/wait.log 2>&1
   rc=$?
-  if [ $rc -eq 0 ]; then
+  if [ $rc -eq 0 ] && grep -q "PROBE_OK 1024.0" logs/wait.log; then
     # Re-check the clock AFTER the (possibly ~40-min) claim: never
     # launch anything past DEADLINE, and keep even the reduced (~1.5 h)
-    # book from overrunning it.
+    # queue from overrunning it.
     now=$(date +%s)
     if [ "$DEADLINE" -gt 0 ] && [ "$now" -ge $((DEADLINE - 5700)) ]; then
-      echo "[$(date +%F' '%T)] claim succeeded but too close to the deadline; not launching" >> r4_logs/wait.log
+      echo "[$(date +%F' '%T)] claim succeeded but too close to the deadline; not launching" >> logs/wait.log
       exit 1
     fi
+    queue=full
     if [ "$FULL_UNTIL" -gt 0 ] && [ "$now" -ge "$FULL_UNTIL" ]; then
-      book=scripts/tpu_runbook_reduced.sh
-    else
-      book=scripts/tpu_runbook_r4.sh
+      queue=reduced
     fi
-    echo "[$(date +%F' '%T)] TPU claimable; starting $book" >> r4_logs/wait.log
-    bash "$book" >> r4_logs/runbook.log 2>&1
-    echo "[$(date +%F' '%T)] runbook finished (rc=$?)" >> r4_logs/wait.log
+    echo "[$(date +%F' '%T)] TPU claimable; starting queue '$queue'" >> logs/wait.log
+    bash scripts/tpu_runbook.sh "$queue" >> logs/runbook.log 2>&1
+    echo "[$(date +%F' '%T)] runbook finished (rc=$?)" >> logs/wait.log
     exit 0
   fi
-  echo "  claim rc=$rc; quiet for 1200 s" >> r4_logs/wait.log
+  echo "  claim rc=$rc; quiet for 1200 s" >> logs/wait.log
   sleep 1200
 done

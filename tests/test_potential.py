@@ -147,6 +147,36 @@ def test_host_curl_pipeline_identical():
     assert f"{Eb0:.5e}" == f"{Eb1:.5e}"
 
 
+def test_host_curl_float32_output():
+    """host_curl composes with output_dtype=float32 (the half-download
+    bench mode): A is the f64 result rounded to f32; B is the f64-
+    computed curl OF that rounded A, so it deviates from the f64-path
+    curl by at most ~eps_f32*|A|/dq of differencing amplification."""
+    import dataclasses as _dc
+
+    from ndsm_tpu import Options, vector_potential
+
+    n = 22
+    x = np.linspace(0, 1, n)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    _, b = potential_field_case(X, Y, Z)
+    opts = Options(precision="mixed")
+    ierr0, A0, B0 = vector_potential(x, x, x, b, options=opts)
+    ierr1, A1, B1 = vector_potential(
+        x, x, x, b,
+        options=_dc.replace(opts, host_curl=True, output_dtype="float32"),
+    )
+    assert ierr0 == ierr1 == 0
+    assert A1.dtype == np.float32 and B1.dtype == np.float32
+    eps = np.finfo(np.float32).eps
+    # A is downcast on device right after the component solves (before
+    # the flux correction) to free the f64 buffers, so it agrees with
+    # the f64-path result at f32 rounding, not bitwise.
+    assert np.abs(A1 - A0).max() < 4.0 * eps * np.abs(A0).max()
+    bound = 2.0 * eps * np.abs(A0).max() * (n - 1) + eps * np.abs(B0).max()
+    assert np.abs(B1 - B0).max() < 4.0 * bound
+
+
 def test_trapz_2d():
     nx, ny = 31, 41
     x = np.linspace(0, 2, nx)
