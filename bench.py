@@ -330,11 +330,6 @@ def main():
         "eb_max": eb_max,
         "precision": precision,
         "host_curl": host_curl,
-        # Provenance: the REQUESTED metric-fusion state (env).  The
-        # actual state can differ per solve (staged compile fallback,
-        # unsupported shapes); results are bitwise-identical either way
-        # (tests/test_metric_fused), so this only labels the run.
-        "metric_fused_requested": os.environ.get("NDSM_TPU_METRIC_FUSED", "1") != "0",
         "ref_time_extrapolated": ref_extrapolated,
     }
     out.update(f32_fields)

@@ -69,9 +69,7 @@ class MultiBCSolver:
         hierarchy: GridHierarchy,
         bcs_list: Sequence[Sequence[Sequence[str]]],
         options: Options = Options(),
-        _metric_fused: bool = True,
     ):
-        self._metric_fused = bool(_metric_fused)
         self.h = hierarchy
         self.bcs_list = tuple(
             stencils.validate_bcs(b, hierarchy.ndim) for b in bcs_list
@@ -525,98 +523,6 @@ class MultiBCSolver:
         self._pallas_fns[key] = fn
         return fn
 
-    def _zc_metric_fns(self, level: int, n: int, with_cor: bool):
-        """Per-lane metric-fused z-compact smoothers (plain or
-        correction-fused; see MGEngine._pallas_zc_metric_fn), or None
-        when any lane is unsupported."""
-        from .engine import _metric_fused_enabled, _pallas_min_points
-
-        key = ("zc_met", level, n, with_cor)
-        if key in self._pallas_fns:
-            return self._pallas_fns[key]
-        fn = None
-        if (
-            self._metric_fused
-            and _metric_fused_enabled()
-            and self.use_pallas in ("on", "interpret")
-            and self.inner_dtype == jnp.float32
-            and self.h.ndim == 3
-            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
-        ):
-            from ..ops import pallas_zc
-
-            shape, rs = self._zc_build_args(level)
-            builder = (
-                pallas_zc.zc_smooth_cor_metric_3d
-                if with_cor
-                else pallas_zc.zc_smooth_metric_3d
-            )
-            fns = tuple(
-                builder(
-                    bcs,
-                    self._dq[level],
-                    shape,
-                    n,
-                    interpret=(self.use_pallas == "interpret"),
-                    real_shape=rs,
-                )
-                for bcs in self.bcs_list
-            )
-            if all(f is not None for f in fns):
-                fn = fns
-        self._pallas_fns[key] = fn
-        return fn
-
-    def _smooth_cor_metric(self, u, cor, rhs, level, n, u_ref):
-        """_smooth_cor plus the per-lane inter-iterate MAX metric vs
-        ``u_ref`` fused into each lane's final kernel pass.  Returns
-        (u, du_lanes) with du_lanes None on fallback; sweeps are
-        bitwise-identical to _smooth_cor (same kernels, same pass
-        composition — see MGEngine.t_smooth_cor_metric)."""
-        from .engine import _pallas_nsweeps
-
-        eligible = (
-            n >= 1
-            and u.dtype == jnp.float32
-            and tuple(u_ref.shape) == tuple(u.shape)
-        )
-        if eligible:
-            ns_star = min(n, _pallas_nsweeps())
-            if n <= ns_star:
-                fms = self._zc_metric_fns(level, n, True)
-                if fms is not None:
-                    outs = [
-                        fms[b](u[b], cor[b], rhs[b], u_ref[b])
-                        for b in range(self.B)
-                    ]
-                    return (
-                        jnp.stack([o[0] for o in outs]),
-                        jnp.stack([jnp.max(o[1]) for o in outs]),
-                    )
-            else:
-                tail = n - ns_star
-                rem = tail % ns_star
-                last = rem if rem else ns_star
-                fc = self._zc_cor_fns(level, ns_star)
-                fms = self._zc_metric_fns(level, last, False)
-                head = tail - last
-                if (
-                    fc is not None
-                    and fms is not None
-                    and (not head or self._zc_fns(level, ns_star) is not None)
-                ):
-                    lanes, dus = [], []
-                    for b in range(self.B):
-                        ub = fc[b](u[b], cor[b], rhs[b])
-                        if head:
-                            ub = self._smooth_zc_lane(
-                                ub, rhs[b], b, level, head, ns_star
-                            )
-                        u1, mt = fms[b](ub, rhs[b], u_ref[b])
-                        lanes.append(u1)
-                        dus.append(jnp.max(mt))
-                    return jnp.stack(lanes), jnp.stack(dus)
-        return self._smooth_cor(u, cor, rhs, level, n), None
 
     def _smooth_cor(self, u, cor, rhs, level, n):
         """n post-smooth sweeps per lane on (u + cor), the add fused
@@ -763,35 +669,18 @@ class MultiBCSolver:
         return e.reshape(rhs.shape)
 
     def _vcycle(self, u, rhs, ex_tol, nmax_exact):
-        u, noconv, _ = self._vcycle_core(u, rhs, ex_tol, nmax_exact, None)
-        return u, noconv
-
-    def _vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
-        """_vcycle + per-lane inter-iterate metric vs ``u_ref`` — the
-        max metric fused into each lane's final post-smooth kernel when
-        supported (bitwise the _metric value; see MGEngine.t_vcycle_du),
-        XLA _metric otherwise."""
-        want = u_ref if self.options.du_max else None
-        u_new, noconv, du = self._vcycle_core(u, rhs, ex_tol, nmax_exact, want)
-        if du is None:
-            du = self._metric(u_new, u_ref)
-        return u_new, noconv, du
-
-    def _vcycle_core(self, u, rhs, ex_tol, nmax_exact, u_ref):
         if self._padded[0] and tuple(u.shape[1:]) == tuple(self.h.shapes[0]):
             # Compat entry for real-shaped stacked inputs; the mixed
             # drivers keep their iterates on work storage instead.
-            up, noconv, du = self._vcycle_core(
-                self._pad0(u), self._pad0(rhs), ex_tol, nmax_exact,
-                None if u_ref is None else self._pad0(u_ref),
+            up, noconv = self._vcycle(
+                self._pad0(u), self._pad0(rhs), ex_tol, nmax_exact
             )
-            return self._unpad0(up), noconv, du
+            return self._unpad0(up), noconv
         L = self.h.ngrids
         ms = self.options.ms
         us = [None] * L
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
-        du = None
         for l in range(L - 1):
             ul, r = self._smooth_residual(us[l], rhss[l], l, ms)
             rhss[l + 1] = _apply_axis_matrices_b(r, self._restrict_w[l])
@@ -809,13 +698,16 @@ class MultiBCSolver:
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
             cor = _apply_axis_matrices_b(uc, self._interp_w[l])
-            if l == 0 and u_ref is not None:
-                us[0], du = self._smooth_cor_metric(
-                    us[0], cor, rhss[0], 0, ms, u_ref
-                )
-            else:
-                us[l] = self._smooth_cor(us[l], cor, rhss[l], l, ms)
-        return us[0], noconv, du
+            us[l] = self._smooth_cor(us[l], cor, rhss[l], l, ms)
+        return us[0], noconv
+
+    def _vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
+        """_vcycle + per-lane inter-iterate metric vs ``u_ref``.  (An
+        earlier kernel-fused form of the metric measured neutral in
+        every end-to-end configuration and was removed —
+        PERF_NOTES.md round 7.)"""
+        u_new, noconv = self._vcycle(u, rhs, ex_tol, nmax_exact)
+        return u_new, noconv, self._metric(u_new, u_ref)
 
     def _metric(self, a, b):
         """Per-lane max/mean |a - b| over the grid axes.  On padded
@@ -1149,28 +1041,15 @@ class MultiBCSolver:
 
             from ..utils.msgs import warn
 
-            # Staged recovery: drop only the metric-fused variant first
-            # (the rest of the kernel stack survives); a second failure
-            # chains — via the fallback's own except — to use_pallas=off.
             fb = getattr(self, "_fallback", None)
             if fb is None:
-                if self._metric_fused:
-                    fb = MultiBCSolver(
-                        self.h, self.bcs_list, o, _metric_fused=False
-                    )
-                else:
-                    fb = MultiBCSolver(
-                        self.h, self.bcs_list, _dc.replace(o, use_pallas="off")
-                    )
+                fb = MultiBCSolver(
+                    self.h, self.bcs_list, _dc.replace(o, use_pallas="off")
+                )
                 self._fallback = fb
             warn(
                 "ndsm_tpu: batched Pallas kernel failed to compile for "
-                f"{self.h.fine_shape}; retrying with "
-                + (
-                    "the metric fusion disabled"
-                    if fb.use_pallas != "off"
-                    else "the XLA smoother"
-                )
+                f"{self.h.fine_shape}; retrying with the XLA smoother"
             )
             return fb.solve(u0_stack, names=names)
         du, it, ierr, flag = jax.device_get((du, it, ierr, flag))

@@ -64,16 +64,6 @@ def _pallas_nsweeps() -> int:
     return max(1, int(os.environ.get("NDSM_TPU_PALLAS_NSWEEPS", 2)))
 
 
-def _metric_fused_enabled() -> bool:
-    """Metric-fused final post-smooth (t_vcycle_du) on/off switch.
-    NDSM_TPU_METRIC_FUSED=0 falls back to the XLA t_metric pass —
-    bitwise-identical results (the fusion only moves where the max is
-    computed), kept as a measurement toggle and a recovery valve."""
-    import os
-
-    return os.environ.get("NDSM_TPU_METRIC_FUSED", "1") != "0"
-
-
 __all__ = ["MGEngine"]
 
 
@@ -97,16 +87,11 @@ class MGEngine:
         coarse_direct: bool = False,
         compact_smoother: bool = True,
         use_pallas: str = "off",
-        metric_fused: bool = True,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.ms = int(ms)
         self.du_max = bool(du_max)
-        # Metric-fused final post-smooth (t_vcycle_du); False is the
-        # staged runtime fallback when only the metric kernel variant
-        # fails to compile (the rest of the kernel stack survives).
-        self.metric_fused = bool(metric_fused) and _metric_fused_enabled()
         self.dtype = jnp.dtype(dtype)
         self.shard_spec = shard_spec
         # Fused Pallas smoother (ops/pallas_fused.py): "on"/"interpret"
@@ -289,6 +274,31 @@ class MGEngine:
             and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
         )
 
+    def _pallas_2d_eligible(self, level: int) -> bool:
+        """2D levels route to the VMEM-resident kernel
+        (ops/pallas_v2d.py — the chi-face smoother; reference
+        red_black_gauss_2D, fortran/ndsm_optimized.f90:199-334).
+
+        OFF by default (NDSM_TPU_PALLAS_2D=1 enables): measured on chip
+        at the production 512^2 x 6-lane chi configuration, the kernel
+        is parity-correct but NEUTRAL on speed (t_smooth 1.02 vs
+        1.08 ms; end-to-end batched chi solve 0.98x — the vmapped XLA
+        2D path runs at ~33% of HBM here, not the 3D path's ~10%, and
+        the whole device-resident chi compute is ~44 ms at 512^3, ~2%
+        of the pipeline), while each kernel variant costs ~1 min of
+        remote compile on cold runs.  PERF_NOTES.md round 7."""
+        import os
+
+        if os.environ.get("NDSM_TPU_PALLAS_2D", "0") != "1":
+            return False
+        gate = int(os.environ.get("NDSM_TPU_PALLAS2D_MIN_POINTS", 128 * 128))
+        return (
+            self.use_pallas in ("on", "interpret")
+            and self.dtype == jnp.float32
+            and self.h.ndim == 2
+            and int(np.prod(self.h.shapes[level])) >= gate
+        )
+
     def _pallas_smooth_fn(self, level: int, n: int):
         """Fused (dense) Pallas smoother for (level, n sweeps), or None
         when the configuration is unsupported (lazy-built, memoized)."""
@@ -345,6 +355,16 @@ class MGEngine:
                 interpret=(self.use_pallas == "interpret"),
                 real_shape=rs,
             )
+        elif self._pallas_2d_eligible(level):
+            from ..ops import pallas_v2d
+
+            fn = pallas_v2d.v2d_smooth(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                n,
+                interpret=(self.use_pallas == "interpret"),
+            )
         self._pallas_fns[key] = fn
         return fn
 
@@ -366,6 +386,16 @@ class MGEngine:
                 n,
                 interpret=(self.use_pallas == "interpret"),
                 real_shape=rs,
+            )
+        elif self._pallas_2d_eligible(level):
+            from ..ops import pallas_v2d
+
+            fn = pallas_v2d.v2d_smooth_residual(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                n,
+                interpret=(self.use_pallas == "interpret"),
             )
         self._pallas_fns[key] = fn
         return fn
@@ -389,84 +419,27 @@ class MGEngine:
                 interpret=(self.use_pallas == "interpret"),
                 real_shape=rs,
             )
-        self._pallas_fns[key] = fn
-        return fn
+        elif self._pallas_2d_eligible(level):
+            from ..ops import pallas_v2d
 
-    def _pallas_zc_metric_fn(self, level: int, n: int, with_cor: bool):
-        """Metric-fused z-compact smoother (plain or correction-fused):
-        the FINAL post-smooth pass also emits per-window maxima of
-        |u_new - u_ref| so the V-cycle's du stopping metric costs no
-        full-array XLA pass (ops/pallas_zc.zc_smooth_metric_3d), or
-        None when unsupported."""
-        key = ("zc_met", level, n, with_cor)
-        if key in self._pallas_fns:
-            return self._pallas_fns[key]
-        fn = None
-        if self._pallas_eligible(level) and self.metric_fused:
-            from ..ops import pallas_zc
-
-            shape, rs = self._zc_build_args(level)
-            builder = (
-                pallas_zc.zc_smooth_cor_metric_3d
-                if with_cor
-                else pallas_zc.zc_smooth_metric_3d
-            )
-            fn = builder(
+            fn = pallas_v2d.v2d_smooth_cor(
                 self.bcs,
                 self._dq[level],
-                shape,
+                self.h.shapes[level],
                 n,
                 interpret=(self.use_pallas == "interpret"),
-                real_shape=rs,
             )
         self._pallas_fns[key] = fn
         return fn
 
-    def t_smooth_metric(self, u, rhs, level: int, u_ref, nsweeps: int):
-        """``nsweeps`` smoothing sweeps with the inter-iterate max metric
-        vs ``u_ref`` fused into the final kernel pass.  Returns
-        (u, max_tiles) — max_tiles is None when the fusion is
-        unsupported (caller computes the metric via t_metric); when
-        present, jnp.max(max_tiles) is BITWISE max|u_new - u_ref|
-        (sweeps identical to t_smooth — same kernels, same pass
-        widths)."""
-        n = nsweeps
-        if n >= 1 and self._on_work_storage(u, level) and tuple(
-            u_ref.shape
-        ) == tuple(u.shape):
-            ns_star = min(n, _pallas_nsweeps())
-            rem = n % ns_star
-            last = rem if rem else ns_star
-            fm = self._pallas_zc_metric_fn(level, last, with_cor=False)
-            if fm is not None:
-                head = n - last
-                if head:
-                    u = self.t_smooth(u, rhs, level, nsweeps=head)
-                return fm(u, rhs, u_ref)
-        return self.t_smooth(u, rhs, level, nsweeps=n), None
-
-    def t_smooth_cor_metric(self, u, cor, rhs, level: int, u_ref):
-        """t_smooth_cor with the inter-iterate max metric vs ``u_ref``
-        fused into the final kernel pass.  Returns (u, max_tiles) with
-        max_tiles None on fallback; sweeps are bitwise-identical to
-        t_smooth_cor (same kernels and pass composition)."""
-        n = self.ms
-        if n >= 1 and self._on_work_storage(u, level) and tuple(
-            u_ref.shape
-        ) == tuple(u.shape):
-            ns_star = min(n, _pallas_nsweeps())
-            if n <= ns_star:
-                f = self._pallas_zc_metric_fn(level, n, with_cor=True)
-                if f is not None:
-                    return f(u, cor, rhs, u_ref)
-            else:
-                fc = self._pallas_zc_cor_fn(level, ns_star)
-                if fc is not None:
-                    u = fc(u, cor, rhs)
-                    return self.t_smooth_metric(
-                        u, rhs, level, u_ref, nsweeps=n - ns_star
-                    )
-        return self.t_smooth_cor(u, cor, rhs, level), None
+    def _pass_width(self, n: int) -> int:
+        """Kernel sweeps fused per HBM pass: the 2D VMEM-resident kernel
+        runs ALL n sweeps in one pass (the level is resident — no halo
+        or traffic reason to chunk); the tiled 3D kernels use the
+        measured-optimal fused width (_pallas_nsweeps)."""
+        if self.h.ndim == 2:
+            return min(n, 16)
+        return min(n, _pallas_nsweeps())
 
     def t_smooth_cor(self, u, cor, rhs, level: int):
         """ms post-smooth sweeps on (u + cor) — the V-cycle ascent's
@@ -477,7 +450,7 @@ class MGEngine:
         bitwise-identical to t_smooth(u + cor, ...)."""
         n = self.ms
         if n >= 1 and self._on_work_storage(u, level):
-            ns_star = min(n, _pallas_nsweeps())
+            ns_star = self._pass_width(n)
             fc = self._pallas_zc_cor_fn(level, ns_star)
             if fc is not None:
                 u = fc(u, cor, rhs)
@@ -493,7 +466,7 @@ class MGEngine:
         Returns (u_smoothed, residual)."""
         n = self.ms
         if n >= 1 and self._on_work_storage(u, level):
-            ns_star = min(n, _pallas_nsweeps())
+            ns_star = self._pass_width(n)
             rem = n % ns_star
             last = rem if rem else ns_star
             fz = self._pallas_zc_res_fn(level, last)
@@ -545,7 +518,7 @@ class MGEngine:
         # mask-code array is built ONCE per smooth call (a traced XLA
         # value — as a per-pass expression XLA fails to CSE/hoist it and
         # the extra materializations cost ~40% of the smoothing phase).
-        ns_star = min(n, _pallas_nsweeps())
+        ns_star = self._pass_width(n)
         pz = self._pallas_zc_fn(level, ns_star)
         if pz is not None:
             q, rem = divmod(n, ns_star)
@@ -757,46 +730,15 @@ class MGEngine:
         iterate padded across the whole group loop — zero per-cycle
         conversion cost); real-shaped inputs are padded on entry and
         sliced on exit (compat path for direct callers)."""
-        u, noconv, _ = self._t_vcycle_core(u, rhs, ex_tol, nmax_exact, None)
-        return u, noconv
-
-    def t_vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
-        """t_vcycle PLUS the inter-iterate convergence metric against
-        ``u_ref`` (the caller's saved pre-cycle iterate — reference
-        du_metrics/update_u pairing, ndsm_multigrid_core.f90:808-853,
-        1077-1122).  Returns ``(u_new, coarse_noconv, du)``.
-
-        For the max metric the final post-smooth kernel emits per-window
-        maxima (ops/pallas_zc.zc_smooth_cor_metric_3d) and du is their
-        max — BITWISE the t_metric value, without t_metric's two
-        full-array reads (XLA elementwise runs at ~10% of HBM bandwidth
-        on this chip, so that pass costs a sizeable fraction of a whole
-        V-cycle).  Everywhere else (mean metric, fp64, unsupported
-        shapes) du falls back to t_metric; the V-cycle arithmetic is
-        bitwise-identical either way."""
-        want = u_ref if self.du_max else None
-        u_new, noconv, mt = self._t_vcycle_core(u, rhs, ex_tol, nmax_exact, want)
-        if mt is not None:
-            du = jnp.max(mt)
-        else:
-            du = self.t_metric(u_new, u_ref)
-        return u_new, noconv, du
-
-    def _t_vcycle_core(self, u, rhs, ex_tol, nmax_exact, u_ref):
-        """Shared V-cycle body.  When ``u_ref`` is not None, the level-0
-        final post-smooth tries the metric-fused kernel and the third
-        return is its max_tiles output (None on any fallback)."""
         if self._padded[0] and tuple(u.shape) == tuple(self.h.shapes[0]):
-            up, noconv, mt = self._t_vcycle_core(
-                self.t_pad0(u), self.t_pad0(rhs), ex_tol, nmax_exact,
-                None if u_ref is None else self.t_pad0(u_ref),
+            up, noconv = self.t_vcycle(
+                self.t_pad0(u), self.t_pad0(rhs), ex_tol, nmax_exact
             )
-            return self.t_unpad0(up), noconv, mt
+            return self.t_unpad0(up), noconv
         L = self.h.ngrids
         us = [None] * L
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
-        mt = None
 
         # Descend (fine_to_coarse, :482-560); residual fused into the
         # final pre-smooth pass where the kernel supports it.
@@ -816,19 +758,29 @@ class MGEngine:
             )
 
         # Ascend (coarse_to_fine, :593-684); correction add fused into
-        # the first post-smooth pass where the kernel supports it, and
-        # (when requested) the du metric into the last one at level 0.
+        # the first post-smooth pass where the kernel supports it.
         for l in range(L - 2, -1, -1):
             uc = self.t_smooth(us[l + 1], rhss[l + 1], l + 1)
             cor = self.t_prolong(uc, l)
-            if l == 0 and u_ref is not None:
-                us[0], mt = self.t_smooth_cor_metric(
-                    us[0], cor, rhss[0], 0, u_ref
-                )
-            else:
-                us[l] = self.t_smooth_cor(us[l], cor, rhss[l], l)
+            us[l] = self.t_smooth_cor(us[l], cor, rhss[l], l)
 
-        return us[0], noconv, mt
+        return us[0], noconv
+
+    def t_vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
+        """t_vcycle PLUS the inter-iterate convergence metric against
+        ``u_ref`` (the caller's saved pre-cycle iterate — reference
+        du_metrics/update_u pairing, ndsm_multigrid_core.f90:808-853,
+        1077-1122).  Returns ``(u_new, coarse_noconv, du)``.
+
+        A kernel-fused form of the metric (per-window maxima emitted by
+        the final post-smooth pass) shipped in an earlier round and
+        measured NEUTRAL in every end-to-end solve configuration
+        (default/strict/batched all 0.98-1.00x on chip — the XLA du
+        pass overlaps inside the compiled program; PERF_NOTES.md round
+        7), so the plain t_metric pass is the production form."""
+        u_new, noconv = self.t_vcycle(u, rhs, ex_tol, nmax_exact)
+        du = self.t_metric(u_new, u_ref)
+        return u_new, noconv, du
 
     def t_two_grid(self, u, rhs, ex_tol, nmax_exact):
         """Two-grid correction scheme for testing (reference: two_grid,

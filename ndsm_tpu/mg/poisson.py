@@ -59,11 +59,11 @@ _COVFAIL_WARNING = (
 
 def _cached_engine(
     hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False,
-    compact_smoother=True, use_pallas="off", metric_fused=True,
+    compact_smoother=True, use_pallas="off",
 ):
     key = (
         hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec,
-        coarse_direct, compact_smoother, use_pallas, metric_fused,
+        coarse_direct, compact_smoother, use_pallas,
     )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
@@ -77,7 +77,6 @@ def _cached_engine(
             coarse_direct=coarse_direct,
             compact_smoother=compact_smoother,
             use_pallas=use_pallas,
-            metric_fused=metric_fused,
         )
         _ENGINE_CACHE.put(key, eng)
     return eng
@@ -101,13 +100,11 @@ class PoissonBVP:
         bcs: Sequence[Sequence[str]],
         options: Options = Options(),
         shard_spec=None,
-        _metric_fused: bool = True,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.options = options
         self.shard_spec = shard_spec
-        self._metric_fused = bool(_metric_fused)
         self.mode = options.resolve_precision()
         if self.mode not in ("fp64", "mixed", "fp32"):
             raise ValueError(f"unknown precision mode {self.mode!r}")
@@ -130,7 +127,6 @@ class PoissonBVP:
             coarse_direct,
             compact,
             use_pallas,
-            metric_fused=self._metric_fused,
         )
         self._outer = (
             self._inner
@@ -731,28 +727,12 @@ class PoissonBVP:
         return fb
 
     def _kernel_fallback(self) -> "PoissonBVP":
-        """Staged compile-failure recovery: first drop ONLY the metric-
-        fused variant (the newest kernel; the rest of the stack
-        survives), then — via the fallback's own except chain — the
-        whole Pallas stack.  Emits the stage-appropriate warning."""
-        if getattr(self._inner, "metric_fused", False):
-            fb = getattr(self, "_fallback_nometric", None)
-            if fb is None:
-                fb = PoissonBVP(
-                    self.h,
-                    self.bcs,
-                    self.options,
-                    shard_spec=self.shard_spec,
-                    _metric_fused=False,
-                )
-                self._fallback_nometric = fb
-            stage = "the metric fusion disabled"
-        else:
-            fb = self._xla_fallback()
-            stage = "the XLA smoother"
+        """Compile-failure recovery: retry with the Pallas stack
+        disabled (the XLA smoother), with a host-side warning."""
+        fb = self._xla_fallback()
         warn(
             "ndsm_tpu: Pallas kernel failed to compile for "
-            f"{self.h.fine_shape}; retrying with {stage}"
+            f"{self.h.fine_shape}; retrying with the XLA smoother"
         )
         return fb
 

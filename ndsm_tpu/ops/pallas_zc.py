@@ -70,8 +70,6 @@ __all__ = [
     "zc_smooth_3d",
     "zc_smooth_cor_3d",
     "zc_smooth_residual_3d",
-    "zc_smooth_metric_3d",
-    "zc_smooth_cor_metric_3d",
     "zc_smooth_sharded_3d",
     "zc_kernel_supported",
     "zc_covers_3d",
@@ -96,7 +94,7 @@ def _halos(nsweeps: int, residual: bool = False) -> Tuple[int, int]:
 
 def pick_tiles_zc(
     shape: Tuple[int, int, int], nsweeps: int, residual: bool = False,
-    with_cor: bool = False, with_metric: bool = False,
+    with_cor: bool = False,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y): tile divisors of (nz, ny) and window extents
     maximizing the useful fraction under the VMEM budget.  tz even
@@ -118,14 +116,9 @@ def pick_tiles_zc(
             # 2 dense double-buffered windows + 4 half work arrays; the
             # residual variant additionally keeps the res halves and the
             # interleave temporaries live (measured ~3 more dense units
-            # of Mosaic scoped stack at 256^3); the correction and
-            # metric-reference streams add one more double-buffered
-            # window each.
-            units = (
-                (9 if residual else 6)
-                + (2 if with_cor else 0)
-                + (2 if with_metric else 0)
-            )
+            # of Mosaic scoped stack at 256^3); the correction stream
+            # adds one more double-buffered window.
+            units = (9 if residual else 6) + (2 if with_cor else 0)
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -136,7 +129,7 @@ def pick_tiles_zc(
 
 def zc_kernel_supported(
     shape, bcs: BCS, dtype, nsweeps: int, interpret: bool = False,
-    residual: bool = False, with_cor: bool = False, with_metric: bool = False,
+    residual: bool = False, with_cor: bool = False,
     real_shape=None,
 ) -> bool:
     """``real_shape``: for PADDED operation, the real problem extents
@@ -163,7 +156,7 @@ def zc_kernel_supported(
     if not interpret and ny % 8 != 0:
         return False  # sublane-aligned window clamps
     return (
-        pick_tiles_zc(tuple(shape), nsweeps, residual, with_cor, with_metric)
+        pick_tiles_zc(tuple(shape), nsweeps, residual, with_cor)
         is not None
     )
 
@@ -245,7 +238,6 @@ def _zc_kernel(
     H_z: int, H_y: int,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
     bcs: BCS, residual: bool = False, with_cor: bool = False,
-    with_metric: bool = False,
     ny_real: int | None = None, nx_real: int | None = None,
 ):
     # Padded operation: real problem extents < padded array extents.
@@ -259,15 +251,9 @@ def _zc_kernel(
     cor_hbm = None
     if with_cor:
         cor_hbm, refs = refs[0], refs[1:]
-    uref_hbm = None
-    if with_metric:
-        uref_hbm, refs = refs[0], refs[1:]
-    res_ref = met_ref = None
+    res_ref = None
     if residual:
         out_ref, res_ref = refs[0], refs[1]
-        refs = refs[2:]
-    elif with_metric:
-        out_ref, met_ref = refs[0], refs[1]
         refs = refs[2:]
     else:
         out_ref, refs = refs[0], refs[1:]
@@ -276,14 +262,8 @@ def _zc_kernel(
     bufC = None
     if with_cor:
         bufC, refs = refs[0], refs[1:]
-    bufT = None
-    if with_metric:
-        bufT, refs = refs[0], refs[1:]
     wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
     refs = refs[4:]
-    bufM = None
-    if with_metric:
-        bufM, refs = refs[0], refs[1:]
     in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
@@ -307,8 +287,6 @@ def _zc_kernel(
         streams = ((u_hbm, bufU), (rhs_hbm, bufR))
         if with_cor:
             streams = streams + ((cor_hbm, bufC),)
-        if with_metric:
-            streams = streams + ((uref_hbm, bufT),)
         return [
             pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
             for k, (src, buf) in enumerate(streams)
@@ -329,12 +307,6 @@ def _zc_kernel(
             dmas.append(
                 pltpu.make_async_copy(
                     bufR.at[src], res_ref.at[dst], out_sems.at[slot, i32(1)]
-                )
-            )
-        if with_metric:
-            dmas.append(
-                pltpu.make_async_copy(
-                    bufM.at[slot], met_ref.at[ii, jj], out_sems.at[slot, i32(1)]
                 )
             )
         return dmas
@@ -471,35 +443,6 @@ def _zc_kernel(
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
 
-    if with_metric:
-        # Inter-iterate max metric of the swept state against the
-        # streamed reference iterate, over the REAL tile only (window
-        # halo rows are sweep-contaminated and belong to other tiles;
-        # the tiles partition the array, and max is exactly
-        # order-independent, so the engine's jnp.max over the (gz, gy,
-        # 8, 128) grid output is BITWISE max|u_new - u_ref| — the same
-        # value the XLA du_metrics pass computes, without its full-array
-        # read of both iterates (reference metric: du_metrics,
-        # ndsm_multigrid_core.f90:808-853).  Pad/Dirichlet-frozen points
-        # difference to exactly zero and cannot affect the max.
-        azw = lax.broadcasted_iota(jnp.int32, (W_z, 1, 1), 0)
-        oz = i * i32(tz) - sz
-        oy = jnp.int32(pl.multiple_of(j * i32(ty), 8)) - sy
-        real = (
-            (azw >= oz)
-            & (azw < oz + i32(tz))
-            & (ly >= oy)
-            & (ly < oy + i32(ty))
-        )
-        m = jnp.max(
-            jnp.where(
-                real,
-                jnp.abs(bufU[slot] - bufT[slot]),
-                jnp.float32(0.0),
-            )
-        )
-        bufM[slot] = jnp.zeros((8, 128), jnp.float32) + m
-
     if residual:
         # Residual of the swept state while it is in VMEM — mirrors
         # stencils.poisson_residual: lap accumulated z,y,x as
@@ -551,7 +494,7 @@ def _zc_kernel(
 
 def _build(
     bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False,
-    with_metric=False, real_shape=None,
+    real_shape=None,
 ):
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
@@ -561,15 +504,13 @@ def _build(
             real_shape = None
     if residual and with_cor:
         raise ValueError("residual and with_cor variants are exclusive")
-    if residual and with_metric:
-        raise ValueError("residual and with_metric variants are exclusive")
     if not zc_kernel_supported(
         shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual,
-        with_cor=with_cor, with_metric=with_metric, real_shape=real_shape,
+        with_cor=with_cor, real_shape=real_shape,
     ):
         return None
     nz, ny, nx = shape
-    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual, with_cor, with_metric)
+    tz, ty, W_z, W_y = pick_tiles_zc(shape, nsweeps, residual, with_cor)
     # Mimic ops.stencils.stencil_weights EXACTLY (w cast to f32, w0 from
     # the f32 sum) so kernel sweeps are bitwise-equal to rb_sweep.
     dq = np.asarray(dq, dtype=np.float64)
@@ -584,21 +525,17 @@ def _build(
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=p0, bcs=bcs, residual=residual,
-        with_cor=with_cor, with_metric=with_metric,
+        with_cor=with_cor,
         ny_real=None if real_shape is None else real_shape[1],
         nx_real=None if real_shape is None else real_shape[2],
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
-    n_in = 2 + (1 if with_cor else 0) + (1 if with_metric else 0)
-    n_out = 2 if (residual or with_metric) else 1
+    n_in = 2 + (1 if with_cor else 0)
+    n_out = 2 if residual else 1
     out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)]
     if residual:
         out_shape.append(jax.ShapeDtypeStruct(shape, jnp.float32))
-    elif with_metric:
-        out_shape.append(
-            jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32)
-        )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -612,7 +549,6 @@ def _build(
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
         ]
-        + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_metric else [])
         + [
             pltpu.SemaphoreType.DMA((2, n_in)),
             pltpu.SemaphoreType.DMA((2, n_out)),
@@ -709,67 +645,6 @@ def zc_smooth_residual_3d(
     return apply
 
 
-def zc_smooth_metric_3d(
-    bcs: BCS,
-    dq,
-    shape,
-    nsweeps: int,
-    dtype=jnp.float32,
-    interpret: bool = False,
-    real_shape=None,
-):
-    """Metric-fused smoother: call(u, rhs, u_ref) -> (u', max_tiles) with
-    ``jnp.max(max_tiles)`` EXACTLY equal (bitwise — max is order-
-    independent over the same f32 differences) to
-    ``jnp.max(jnp.abs(u' - u_ref))``, i.e. the inter-iterate max metric
-    of ops/reduce.du_metrics (reference du_metrics,
-    ndsm_multigrid_core.f90:808-853).  Used as the FINAL post-smooth pass
-    of a V-cycle so the du stopping metric costs no extra full-array XLA
-    pass (which runs at ~10% of HBM bandwidth on this chip);
-    ``max_tiles`` is a (gz, gy, 8, 128) per-window-max array, a few KB."""
-    call = _build(
-        bcs, dq, shape, nsweeps, dtype, interpret, False, with_metric=True,
-        real_shape=real_shape,
-    )
-    if call is None:
-        return None
-
-    def apply(u, rhs, u_ref):
-        out = call(u, rhs, u_ref)
-        return out[0], out[1]
-
-    return apply
-
-
-def zc_smooth_cor_metric_3d(
-    bcs: BCS,
-    dq,
-    shape,
-    nsweeps: int,
-    dtype=jnp.float32,
-    interpret: bool = False,
-    real_shape=None,
-):
-    """Correction- AND metric-fused smoother: call(u, cor, rhs, u_ref) ->
-    (u', max_tiles) — ``nsweeps`` sweeps on (u + cor) plus the
-    inter-iterate max metric vs ``u_ref`` in ONE HBM pass (the V-cycle
-    ascent's correct + post-smooth + du in a single kernel; see
-    zc_smooth_cor_3d / zc_smooth_metric_3d for the two fusions'
-    bitwise-equality arguments)."""
-    call = _build(
-        bcs, dq, shape, nsweeps, dtype, interpret, False, with_cor=True,
-        with_metric=True, real_shape=real_shape,
-    )
-    if call is None:
-        return None
-
-    def apply(u, cor, rhs, u_ref):
-        out = call(u, rhs, cor, u_ref)
-        return out[0], out[1]
-
-    return apply
-
-
 # ----------------------------------------------------------------------
 # Sharded variant: per-shard smoothing on halo-EXTENDED dense blocks.
 #
@@ -801,13 +676,12 @@ def zc_smooth_cor_metric_3d(
 
 def pick_tiles_zc_sharded(
     local_shape: Tuple[int, int, int], nsweeps: int, ext_y: bool,
-    with_metric: bool = False, residual: bool = False,
+    residual: bool = False,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y) over the REAL local block; windows read from
     the extended block.  Budget counts 3 double-buffered streams (u,
-    rhs, C) plus the split work arrays (and the metric variant's
-    double-buffered reference window; the residual variant's extra live
-    halves, like the dense kernel's)."""
+    rhs, C) plus the split work arrays (and the residual variant's
+    extra live halves, like the dense kernel's)."""
     nz, ny, nx = local_shape
     H_z, H_y = _halos(nsweeps, residual)
     best, best_frac = None, 0.0
@@ -822,8 +696,7 @@ def pick_tiles_zc_sharded(
             if wz % 2 or wy % 8:
                 continue
             units = 13 if residual else 10
-            extra = 2 * tz * (ty if ext_y else wy) * nx * 4 if with_metric else 0
-            if units * wz * wy * nx * 4 + extra > _VMEM_BUDGET:
+            if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:
@@ -833,13 +706,11 @@ def pick_tiles_zc_sharded(
 
 def zc_sharded_supported(
     local_shape, dtype, nsweeps: int, ext_y: bool, interpret: bool = False,
-    with_metric: bool = False, residual: bool = False,
+    residual: bool = False,
 ) -> bool:
     if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
     if nsweeps < 1 or nsweeps > 8:
-        return False
-    if with_metric and residual:
         return False
     nz, ny, nx = local_shape
     if nz % 2 or ny % 8:
@@ -847,9 +718,7 @@ def zc_sharded_supported(
     if not interpret and nx % 128 != 0:
         return False
     return (
-        pick_tiles_zc_sharded(
-            tuple(local_shape), nsweeps, ext_y, with_metric, residual
-        )
+        pick_tiles_zc_sharded(tuple(local_shape), nsweeps, ext_y, residual)
         is not None
     )
 
@@ -859,31 +728,20 @@ def _zc_sharded_kernel(
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     H_z: int, H_y: int, ext_y: bool,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
-    with_metric: bool = False, residual: bool = False,
+    residual: bool = False,
 ):
-    # Ref layout: inputs (u, rhs, C[, uref]), outputs (out[, res|met]),
-    # scratch (bufU, bufR, bufC[, bufT], work arrays[, bufM], sems).
+    # Ref layout: inputs (u, rhs, C), outputs (out[, res]),
+    # scratch (bufU, bufR, bufC, work arrays, sems).
     u_hbm, rhs_hbm, c_hbm = refs[0], refs[1], refs[2]
     refs = refs[3:]
-    uref_hbm = None
-    if with_metric:
-        uref_hbm, refs = refs[0], refs[1:]
     out_ref, refs = refs[0], refs[1:]
-    met_ref = res_ref = None
-    if with_metric:
-        met_ref, refs = refs[0], refs[1:]
-    elif residual:
+    res_ref = None
+    if residual:
         res_ref, refs = refs[0], refs[1:]
     bufU, bufR, bufC = refs[0], refs[1], refs[2]
     refs = refs[3:]
-    bufT = None
-    if with_metric:
-        bufT, refs = refs[0], refs[1:]
     wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
     refs = refs[4:]
-    bufM = None
-    if with_metric:
-        bufM, refs = refs[0], refs[1:]
     in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
@@ -912,21 +770,6 @@ def _zc_sharded_kernel(
                 ((u_hbm, bufU), (rhs_hbm, bufR), (c_hbm, bufC))
             )
         ]
-        if with_metric:
-            # The reference iterate is the REAL local block (no halos):
-            # fetch its tile rows at real z coords; y rides the u
-            # window's real-coords span (ext_y: the static tile).
-            z_t = pl.ds(ii * i32(tz), tz)
-            y_t = pl.ds(pl.multiple_of(jj * i32(ty), 8), ty) if ext_y else (
-                pl.ds(sy, W_y)
-            )
-            dmas.append(
-                pltpu.make_async_copy(
-                    uref_hbm.at[(z_t, y_t, slice(None))],
-                    bufT.at[slot],
-                    in_sems.at[slot, i32(3)],
-                )
-            )
         return dmas
 
     def out_dmas(slot, ii, jj):
@@ -941,12 +784,6 @@ def _zc_sharded_kernel(
         dmas = [
             pltpu.make_async_copy(bufU.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
         ]
-        if with_metric:
-            dmas.append(
-                pltpu.make_async_copy(
-                    bufM.at[slot], met_ref.at[ii, jj], out_sems.at[slot, i32(1)]
-                )
-            )
         if residual:
             # the rhs window buffer carries the interleaved residual
             # once the sweeps have consumed it (the dense kernel's trick)
@@ -1061,30 +898,6 @@ def _zc_sharded_kernel(
         rO = jnp.where(t1, res_R, res_B)
         bufR[slot] = jnp.stack([rE, rO], axis=1).reshape(W_z, W_y, nx)
 
-    if with_metric:
-        # Per-window max of |u_new - u_ref| over the REAL tile (the
-        # sharded du metric's local contribution; the engine reduces
-        # jnp.max over the grid output and pmax over shards — bitwise
-        # the XLA local max, see zc_smooth_metric_3d).  z offset of the
-        # real tile in the window is the static H_z; y is the static
-        # tile under ext_y, else masked within the shared real-coords
-        # window span.
-        a = bufU[slot][H_z : H_z + tz]
-        if ext_y:
-            m = jnp.max(jnp.abs(a[:, H_y : H_y + ty, :] - bufT[slot]))
-        else:
-            _, sy = window_starts(i, j)
-            oy = pl.multiple_of(j * i32(ty), 8) - sy
-            lyw = lax.broadcasted_iota(jnp.int32, (1, W_y, nx), 1)
-            m = jnp.max(
-                jnp.where(
-                    jnp.logical_and(lyw >= oy, lyw < oy + i32(ty)),
-                    jnp.abs(a - bufT[slot]),
-                    jnp.float32(0.0),
-                )
-            )
-        bufM[slot] = jnp.zeros((8, 128), jnp.float32) + m
-
     for d in out_dmas(slot, i, j):
         d.start()
 
@@ -1110,7 +923,6 @@ def zc_smooth_sharded_3d(
     dtype=jnp.float32,
     interpret: bool = False,
     vma=None,
-    with_metric: bool = False,
     residual: bool = False,
 ):
     """Build the per-shard smoother, or None if unsupported.  Returns
@@ -1124,12 +936,6 @@ def zc_smooth_sharded_3d(
     caller runs this inside shard_map, whose vma type system requires
     pallas_call out_shapes to declare their varying axes).
 
-    ``with_metric``: call(ext_u, ext_rhs, ext_C, u_ref) -> (u,
-    max_tiles) additionally streams the REAL-block reference iterate
-    and emits per-window maxima of |u_new - u_ref| (the local du
-    contribution; jnp.max + lax.pmax over shards is BITWISE the XLA
-    metric — see zc_smooth_metric_3d).
-
     ``residual``: call(ext_u, ext_rhs, ext_C) -> (u, r) additionally
     emits the residual of the swept state over the real block (the
     V-cycle descent's smooth+residual in one pass; inputs need the
@@ -1137,12 +943,12 @@ def zc_smooth_sharded_3d(
     local_shape = tuple(int(s) for s in local_shape)
     if not zc_sharded_supported(
         local_shape, dtype, nsweeps, ext_y, interpret=interpret,
-        with_metric=with_metric, residual=residual,
+        residual=residual,
     ):
         return None
     nz, ny, nx = local_shape
     tz, ty, W_z, W_y = pick_tiles_zc_sharded(
-        local_shape, nsweeps, ext_y, with_metric, residual
+        local_shape, nsweeps, ext_y, residual
     )
     dq = np.asarray(dq, dtype=np.float64)
     w32 = (1.0 / (dq * dq)).astype(np.float32)
@@ -1155,11 +961,11 @@ def zc_smooth_sharded_3d(
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y, ext_y=ext_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=int(p0),
-        with_metric=with_metric, residual=residual,
+        residual=residual,
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
-    n_in = 4 if with_metric else 3
+    n_in = 3
     vset = None if vma is None else frozenset(vma)
 
     def sds(shape):
@@ -1168,9 +974,7 @@ def zc_smooth_sharded_3d(
         return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vset)
 
     out_shape = [sds(local_shape)]
-    if with_metric:
-        out_shape.append(sds((grid[0], grid[1], 8, 128)))
-    elif residual:
+    if residual:
         out_shape.append(sds(local_shape))
     call = pl.pallas_call(
         kernel,
@@ -1183,21 +987,15 @@ def zc_smooth_sharded_3d(
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
         ]
-        + (
-            [pltpu.VMEM((2, tz, ty if ext_y else W_y, nx), jnp.float32)]
-            if with_metric
-            else []
-        )
         + [
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
         ]
-        + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_metric else [])
         + [
             pltpu.SemaphoreType.DMA((2, n_in)),
-            pltpu.SemaphoreType.DMA((2, 2 if (with_metric or residual) else 1)),
+            pltpu.SemaphoreType.DMA((2, 2 if residual else 1)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=int((nsweeps + (1 if residual else 0)) * 11 * nz * ny * nx),
@@ -1206,7 +1004,7 @@ def zc_smooth_sharded_3d(
         ),
         interpret=interpret,
     )
-    if not (with_metric or residual):
+    if not residual:
         def apply_plain(ext_u, ext_rhs, ext_C):
             return call(ext_u, ext_rhs, ext_C)[0]
 

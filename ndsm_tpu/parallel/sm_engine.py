@@ -648,47 +648,6 @@ class ShardedPoissonBVP(ShardStencilKernels):
             H_map[1] = H_y
         return H_map
 
-    def _zc_sharded_metric_fn(self, level: int, n: int):
-        """Metric-fused per-shard smoother (the final pass also emits
-        per-window |u_new - u_ref| maxima — the local du contribution),
-        or None.  Support is a subset of _zc_sharded_fn's (one more
-        double-buffered stream), so a non-None here implies the plain
-        pass compositions are available too."""
-        from ..mg.engine import _metric_fused_enabled, _pallas_min_points
-
-        key = ("met", level, n)
-        if key in self._zc_fns:
-            return self._zc_fns[key]
-        fn = None
-        if (
-            _metric_fused_enabled()
-            and self.use_pallas in ("on", "interpret")
-            and self.h.ndim == 3
-            and level < self.seam
-            and not stencils.is_all_neumann(self.bcs)
-            and int(np.prod(self.h.shapes[level])) >= _pallas_min_points()
-        ):
-            from ..ops import pallas_zc
-
-            local = self._local_shape(level)
-            H_z, H_y = pallas_zc._halos(n)
-            if all(
-                local[ax] >= (H_z if ax == 0 else H_y) + 1
-                for ax, _ in self.parts
-            ):
-                fn = pallas_zc.zc_smooth_sharded_3d(
-                    self._dq[level],
-                    local,
-                    n,
-                    stencils.first_color_parity(self.bcs),
-                    ext_y=len(self.names) > 1,
-                    interpret=(self.use_pallas == "interpret"),
-                    vma={nm for _, nm in self.parts},
-                    with_metric=True,
-                )
-        self._zc_fns[key] = fn
-        return fn
-
     def _smooth_zc_sharded(self, u, rhs, level, n, ns_star, fz):
         """n sweeps as passes of the per-shard kernel: one 2*ns-deep
         halo exchange per pass instead of one boundary-plane exchange
@@ -793,42 +752,6 @@ class ShardedPoissonBVP(ShardStencilKernels):
             else stencils.poisson_residual(ul, rhs, self._dq[level], self.bcs)
         )
         return ul, r
-
-    def _smooth_du(self, u, rhs, level, n, u_ref):
-        """_smooth with the local du-max contribution vs ``u_ref`` fused
-        into the final kernel pass.  Returns (u, m): m is the per-shard
-        scalar max (caller pmax-reduces), or None on any fallback —
-        pass composition is bitwise _smooth's either way."""
-        from ..mg.engine import _pallas_nsweeps
-
-        if (
-            level < self.seam
-            and u.dtype == jnp.float32
-            and n >= 1
-            and self.options.du_max
-        ):
-            ns_star = min(n, _pallas_nsweeps())
-            fz = self._zc_sharded_fn(level, ns_star)
-            rem = n % ns_star
-            last = rem if rem else ns_star
-            fm = self._zc_sharded_metric_fn(level, last)
-            if fz is not None and fm is not None:
-                head = n - last
-                if head:
-                    u = self._smooth_zc_sharded(
-                        u, rhs, level, head, ns_star, fz
-                    )
-                Hl = self._H_map(last)
-                u, mt = fm(
-                    self._extend_block(u, level, Hl),
-                    self._extend_block(rhs, level, Hl),
-                    self._extend_block(
-                        self._zc_mask_code(u.shape, level), level, Hl
-                    ),
-                    u_ref,
-                )
-                return u, jnp.max(mt)
-        return self._smooth(u, rhs, level, n), None
 
     def _smooth(self, u, rhs, level, n):
         if level < self.seam:
@@ -958,30 +881,20 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 shape[ax] //= self.ndev[nm]
         return tuple(shape)
 
-    def _vcycle(self, u, rhs, ex_tol, nmax_exact):
-        u, noconv, _ = self._vcycle_core(u, rhs, ex_tol, nmax_exact, None)
-        return u, noconv
-
     def _vcycle_du(self, u, rhs, ex_tol, nmax_exact, u_ref):
-        """_vcycle + the du metric vs ``u_ref`` — the max metric's local
-        contribution fused into the final post-smooth kernel pass when
-        supported (jnp.max + pmax of the kernel's per-window maxima is
-        BITWISE the _metric value), the XLA _metric otherwise."""
-        u_new, noconv, m = self._vcycle_core(u, rhs, ex_tol, nmax_exact, u_ref)
-        if m is not None:
-            du = lax.pmax(m, self.names)
-        else:
-            du = self._metric(u_new, u_ref, 0)
-        return u_new, noconv, du
+        """_vcycle + the du metric vs ``u_ref``.  (An earlier
+        kernel-fused form of the local metric contribution measured
+        neutral end-to-end and was removed — PERF_NOTES.md round 7.)"""
+        u_new, noconv = self._vcycle(u, rhs, ex_tol, nmax_exact)
+        return u_new, noconv, self._metric(u_new, u_ref, 0)
 
-    def _vcycle_core(self, u, rhs, ex_tol, nmax_exact, u_ref):
+    def _vcycle(self, u, rhs, ex_tol, nmax_exact):
         L = self.h.ngrids
         ms = self.options.ms
         dtype = u.dtype
         us = [None] * L
         rhss = [None] * L
         us[0], rhss[0] = u, rhs
-        m = None
         for l in range(L - 1):
             ul, r = self._smooth_residual_sh(us[l], rhss[l], l, ms)
             rhss[l + 1] = self._restrict(r, l)
@@ -993,11 +906,8 @@ class ShardedPoissonBVP(ShardStencilKernels):
         for l in range(L - 2, -1, -1):
             uc = self._smooth(us[l + 1], rhss[l + 1], l + 1, ms)
             cor = self._prolong(uc, l)
-            if l == 0 and u_ref is not None:
-                us[0], m = self._smooth_du(us[0] + cor, rhss[0], 0, ms, u_ref)
-            else:
-                us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
-        return us[0], noconv, m
+            us[l] = self._smooth(us[l] + cor, rhss[l], l, ms)
+        return us[0], noconv
 
     def _mixed_group(self, u, rhs, ex_tol, nmax_exact, vc_tol, it, nmax, inner_max):
         """f64 defect correction supported by up to ``inner_max`` f32

@@ -41,11 +41,11 @@ q_headline() {
 }
 
 q_perf() {
-  # Metric fusion keep/cut data: default groups, strict mode, batched.
-  step perf_r5 1800 python3 scripts/perf_r5.py 256
-  step perf_r5_phases 1200 python3 scripts/perf_r5.py --phases 256
+  # End-to-end solve timings (default/strict/batched) + phase breakdown.
+  step perf_solves 2700 python3 scripts/perf_phases.py 256
+  step perf_phases 1200 python3 scripts/perf_phases.py --phases 256
   # Sharded-engine single-shard overhead anchor (VERDICT r2 item 7).
-  step perf_shard1 1800 python3 scripts/perf_shard1.py 256
+  step perf_shard1 2700 python3 scripts/perf_shard1.py 256
 }
 
 q_digits() {
