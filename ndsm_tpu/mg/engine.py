@@ -441,6 +441,43 @@ class MGEngine:
             return min(n, 16)
         return min(n, _pallas_nsweeps())
 
+    def _pallas_zc_mean_fn(self, level: int):
+        """All-Neumann single-sweep pass with in-kernel mean machinery
+        (ops/pallas_zc.zc_smooth_mean_3d), or None.  Covers the 3D
+        all-Neumann configurations the multi-sweep kernels exclude
+        (reference handles them directly: ndsm_optimized.f90:173-189)."""
+        key = ("zc_mean", level)
+        if key in self._pallas_fns:
+            return self._pallas_fns[key]
+        fn = None
+        if self._pallas_eligible(level) and not self._padded[level]:
+            from ..ops import pallas_zc
+
+            fn = pallas_zc.zc_smooth_mean_3d(
+                self.bcs,
+                self._dq[level],
+                self.h.shapes[level],
+                interpret=(self.use_pallas == "interpret"),
+            )
+        self._pallas_fns[key] = fn
+        return fn
+
+    def _t_smooth_zc_mean(self, u, rhs, level: int, n: int, fzm):
+        """n reference sweeps (sweep, then subtract the global mean —
+        quirk Q7) composed from single-sweep kernel passes: the mean is
+        subtracted in-kernel on the NEXT pass's load, with one scalar
+        combine of the per-window sums between passes and one final
+        XLA subtraction.  Matches the XLA path to rounding (the sum's
+        reduction order differs from jnp.mean's tree)."""
+        N = float(np.prod(self.h.shapes[level]))
+        sub = jnp.zeros((8, 128), dtype=jnp.float32)
+        m = jnp.float32(0.0)
+        for _ in range(n):
+            u, sums = fzm(u, rhs, sub)
+            m = (jnp.sum(sums) / jnp.float32(N)).astype(jnp.float32)
+            sub = jnp.zeros((8, 128), dtype=jnp.float32) + m
+        return u - m
+
     def t_smooth_cor(self, u, cor, rhs, level: int):
         """ms post-smooth sweeps on (u + cor) — the V-cycle ascent's
         correct-then-relax (reference: ndsm_multigrid_core.f90:659-682).
@@ -513,6 +550,12 @@ class MGEngine:
             return u
         if not self._on_work_storage(u, level):
             return self._t_smooth_xla(u, rhs, level, n)
+        # 3D all-Neumann: the per-sweep global mean needs single-sweep
+        # passes with a scalar combine between them (zc_smooth_mean_3d).
+        if self.h.ndim == 3 and stencils.is_all_neumann(self.bcs):
+            fzm = self._pallas_zc_mean_fn(level)
+            if fzm is not None:
+                return self._t_smooth_zc_mean(u, rhs, level, n, fzm)
         # Fused Pallas smoothing: compose n sweeps from passes of the
         # measured-optimal fused width (plus one remainder pass).  The
         # mask-code array is built ONCE per smooth call (a traced XLA

@@ -70,6 +70,8 @@ __all__ = [
     "zc_smooth_3d",
     "zc_smooth_cor_3d",
     "zc_smooth_residual_3d",
+    "zc_smooth_mean_3d",
+    "zc_mean_supported",
     "zc_smooth_sharded_3d",
     "zc_kernel_supported",
     "zc_covers_3d",
@@ -161,6 +163,26 @@ def zc_kernel_supported(
     )
 
 
+def zc_mean_supported(
+    shape, bcs: BCS, dtype, nsweeps: int, interpret: bool = False,
+) -> bool:
+    """Support predicate for the all-Neumann mean variant: single-sweep
+    passes (the global mean is re-measured between sweeps), unpadded
+    aligned shapes, all faces Neumann."""
+    if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
+        return False
+    if not is_all_neumann(bcs):
+        return False
+    if nsweeps != 1:
+        return False
+    nz, ny, nx = shape
+    if nz % 2:
+        return False
+    if not interpret and (nx % 128 != 0 or ny % 8 != 0):
+        return False
+    return pick_tiles_zc(tuple(shape), 1) is not None
+
+
 def padded_shape_3d(shape) -> Optional[Tuple[int, int, int]]:
     """The y/x-padded work shape serving unaligned ``shape``, or None
     when padding cannot apply (odd nz, degenerate extents, or already
@@ -238,6 +260,7 @@ def _zc_kernel(
     H_z: int, H_y: int,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
     bcs: BCS, residual: bool = False, with_cor: bool = False,
+    with_mean: bool = False,
     ny_real: int | None = None, nx_real: int | None = None,
 ):
     # Padded operation: real problem extents < padded array extents.
@@ -251,9 +274,16 @@ def _zc_kernel(
     cor_hbm = None
     if with_cor:
         cor_hbm, refs = refs[0], refs[1:]
+    sub_hbm = None
+    if with_mean:
+        sub_hbm, refs = refs[0], refs[1:]
     res_ref = None
+    sum_ref = None
     if residual:
         out_ref, res_ref = refs[0], refs[1]
+        refs = refs[2:]
+    elif with_mean:
+        out_ref, sum_ref = refs[0], refs[1]
         refs = refs[2:]
     else:
         out_ref, refs = refs[0], refs[1:]
@@ -262,8 +292,13 @@ def _zc_kernel(
     bufC = None
     if with_cor:
         bufC, refs = refs[0], refs[1:]
+    bufS = bufM = None
+    if with_mean:
+        bufS, refs = refs[0], refs[1:]
     wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
     refs = refs[4:]
+    if with_mean:
+        bufM, refs = refs[0], refs[1:]
     in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
@@ -287,10 +322,19 @@ def _zc_kernel(
         streams = ((u_hbm, bufU), (rhs_hbm, bufR))
         if with_cor:
             streams = streams + ((cor_hbm, bufC),)
-        return [
+        dmas = [
             pltpu.make_async_copy(src.at[win], buf.at[slot], in_sems.at[slot, i32(k)])
             for k, (src, buf) in enumerate(streams)
         ]
+        if with_mean:
+            # the (8, 128) broadcast mean scalar rides its own tiny DMA
+            dmas.append(
+                pltpu.make_async_copy(
+                    sub_hbm.at[...], bufS.at[slot],
+                    in_sems.at[slot, i32(len(streams))],
+                )
+            )
+        return dmas
 
     def out_dmas(slot, ii, jj):
         sz, sy = window_starts(ii, jj)
@@ -307,6 +351,12 @@ def _zc_kernel(
             dmas.append(
                 pltpu.make_async_copy(
                     bufR.at[src], res_ref.at[dst], out_sems.at[slot, i32(1)]
+                )
+            )
+        if with_mean:
+            dmas.append(
+                pltpu.make_async_copy(
+                    bufM.at[slot], sum_ref.at[ii, jj], out_sems.at[slot, i32(1)]
                 )
             )
         return dmas
@@ -394,6 +444,11 @@ def _zc_kernel(
         return jnp.where(t1, O, E), jnp.where(t1, E, O)
 
     u_win = bufU[slot] + bufC[slot] if with_cor else bufU[slot]
+    if with_mean:
+        # previous sweep's global mean, subtracted on load (reference:
+        # subtract-mean-after-every-sweep, ndsm_optimized.f90:173-189;
+        # sweep(u - m) == the XLA path's state after its subtraction)
+        u_win = u_win - bufS[slot][0, 0]
     R0, B0 = split(u_win)
     rR, rB = split(bufR[slot])
     wR[...] = R0
@@ -429,6 +484,8 @@ def _zc_kernel(
             + (x_lo + x_hi) * jnp.float32(w[2])
         )
         unew = (s - rhs_own) * jnp.float32(w0)
+        if mask is None:
+            return unew  # all-Neumann (mean variant): every point updates
         return jnp.where(mask, unew, own)
 
     rR = wrR[...]
@@ -442,6 +499,23 @@ def _zc_kernel(
     E = jnp.where(t1, B, R)
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
+
+    if with_mean:
+        # Per-window sum of the swept state over the REAL tile (window
+        # halo rows belong to other tiles; the tiles partition the
+        # array).  The engine sums the (gz, gy, 8, 128) grid output and
+        # divides by N for the next pass's subtraction scalar.
+        azw = lax.broadcasted_iota(jnp.int32, (W_z, 1, 1), 0)
+        oz = i * i32(tz) - sz
+        oy = jnp.int32(pl.multiple_of(j * i32(ty), 8)) - sy
+        real = (
+            (azw >= oz)
+            & (azw < oz + i32(tz))
+            & (ly >= oy)
+            & (ly < oy + i32(ty))
+        )
+        msum = jnp.sum(jnp.where(real, bufU[slot], jnp.float32(0.0)))
+        bufM[slot] = jnp.zeros((8, 128), jnp.float32) + msum
 
     if residual:
         # Residual of the swept state while it is in VMEM — mirrors
@@ -494,7 +568,7 @@ def _zc_kernel(
 
 def _build(
     bcs, dq, shape, nsweeps, dtype, interpret, residual, with_cor=False,
-    real_shape=None,
+    with_mean=False, real_shape=None,
 ):
     bcs = tuple(tuple(b) for b in bcs)
     shape = tuple(int(s) for s in shape)
@@ -504,7 +578,12 @@ def _build(
             real_shape = None
     if residual and with_cor:
         raise ValueError("residual and with_cor variants are exclusive")
-    if not zc_kernel_supported(
+    if with_mean:
+        if residual or with_cor or real_shape is not None:
+            raise ValueError("with_mean composes with no other variant")
+        if not zc_mean_supported(shape, bcs, dtype, nsweeps, interpret=interpret):
+            return None
+    elif not zc_kernel_supported(
         shape, bcs, dtype, nsweeps, interpret=interpret, residual=residual,
         with_cor=with_cor, real_shape=real_shape,
     ):
@@ -525,30 +604,37 @@ def _build(
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=p0, bcs=bcs, residual=residual,
-        with_cor=with_cor,
+        with_cor=with_cor, with_mean=with_mean,
         ny_real=None if real_shape is None else real_shape[1],
         nx_real=None if real_shape is None else real_shape[2],
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
-    n_in = 2 + (1 if with_cor else 0)
-    n_out = 2 if residual else 1
+    n_in = 2 + (1 if with_cor else 0) + (1 if with_mean else 0)
+    n_out = 2 if (residual or with_mean) else 1
     out_shape = [jax.ShapeDtypeStruct(shape, jnp.float32)]
     if residual:
         out_shape.append(jax.ShapeDtypeStruct(shape, jnp.float32))
+    elif with_mean:
+        out_shape.append(
+            jax.ShapeDtypeStruct((grid[0], grid[1], 8, 128), jnp.float32)
+        )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)] * n_in
+        scratch_shapes=[pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)]
+        * (n_in - (1 if with_mean else 0))
+        + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_mean else [])
         + [
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
         ]
+        + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_mean else [])
         + [
             pltpu.SemaphoreType.DMA((2, n_in)),
             pltpu.SemaphoreType.DMA((2, n_out)),
@@ -584,6 +670,36 @@ def zc_smooth_3d(
 
     def apply(u, rhs):
         return call(u, rhs)[0]
+
+    return apply
+
+
+def zc_smooth_mean_3d(
+    bcs: BCS,
+    dq,
+    shape,
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """All-Neumann smoother pass: call(u, rhs, sub) -> (u', sums) runs
+    ONE red-black sweep on (u - sub) — ``sub`` an (8, 128) broadcast of
+    the previous sweep's global mean — and emits per-window REAL-tile
+    sums of the swept state ((gz, gy, 8, 128); their jnp.sum / N is the
+    next pass's mean).  The engine composes the reference's
+    sweep-then-subtract-mean loop (ndsm_optimized.f90:173-189) from
+    these passes with one scalar combine between sweeps and a final
+    subtraction — covering 3D all-Neumann problems that previously fell
+    back to the XLA path (zc_kernel_supported excludes all-Neumann: a
+    multi-sweep tiled pass cannot interleave a global reduction)."""
+    call = _build(bcs, dq, shape, 1, dtype, interpret, False, with_mean=True)
+    if call is None:
+        return None
+
+    def apply(u, rhs, sub):
+        out = call(u, rhs, sub)
+        # each (8, 128) grid tile is filled with its window's sum —
+        # take one entry per window so jnp.sum counts each once
+        return out[0], out[1][..., 0, 0]
 
     return apply
 

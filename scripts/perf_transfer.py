@@ -5,11 +5,10 @@ in-program, and what do cheap knobs buy?
 
 Measures, warm K-differenced single programs at N^3:
   1. restrict+prolong chain, HIGHEST vs DEFAULT MXU precision;
-  2. full t_vcycle with each precision (the honest in-program delta);
-  3. a 'no-transfer' cycle variant (restrict -> strided slice,
-     prolong -> zero-order hold) — semantically wrong, structurally
-     identical: BOUNDS the attainable win of any transfer fusion;
-  4. end-to-end mixed solve with each precision (cycle counts must
+  2. full t_vcycle with each precision (the honest in-program delta —
+     the precision flip halves the transfer matmul work, so twice the
+     t_vcycle delta estimates the total in-program transfer cost);
+  3. end-to-end mixed solve with each precision (cycle counts must
      stay comparable — transfer precision is a convergence-rate knob
      under the f64 defect, not an accuracy one).
 
@@ -71,49 +70,18 @@ def main(n=256, K=20):
         kdiff("full t_vcycle",
               loopK(lambda v: eng.t_vcycle(v, r, 1e-6, 10)[0]), u, K, pts)
 
-    # 3. no-transfer structural bound: replace restrict with a strided
-    # slice and prolong with a zero-order hold of matching shapes.
-    os.environ["NDSM_TPU_TRANSFER_PRECISION"] = "highest"
-    _ENGINE_CACHE.clear()
-    eng = _cached_engine(
-        h, bcs, 5, True, jnp.float32, coarse_direct=True, use_pallas="on"
-    )
-    w0 = eng._work_shapes[0]
-    u = jnp.asarray(rng.standard_normal(w0), jnp.float32)
-    r = jnp.asarray(rng.standard_normal(w0), jnp.float32)
-    pts = float(np.prod(w0))
-
-    shapes = eng._work_shapes
-
-    def fake_restrict(rr, level):
-        cs = shapes[level + 1]
-        sl = tuple(slice(0, 2 * c, 2) for c in cs)
-        return rr[sl]
-
-    def fake_prolong(uc, level):
-        fs = shapes[level]
-        out = jnp.zeros(fs, uc.dtype)
-        sl = tuple(slice(0, 2 * c, 2) for c in uc.shape)
-        return out.at[sl].set(uc)
-
-    real_restrict, real_prolong = eng.t_restrict, eng.t_prolong
-    eng.t_restrict, eng.t_prolong = fake_restrict, fake_prolong
-    print("== no-transfer structural bound ==", flush=True)
-    kdiff("t_vcycle, transfers stubbed",
-          loopK(lambda v: eng.t_vcycle(v, r, 1e-6, 10)[0]), u, K, pts)
-    eng.t_restrict, eng.t_prolong = real_restrict, real_prolong
-
-    # 4. end-to-end solves: cycle-count effect of the precision knob
+    # 3. end-to-end solves: cycle-count effect of the precision knob
     u0_np = np.zeros((n, n, n))
     u0_np[0], u0_np[-1] = rng.standard_normal((n, n)), rng.standard_normal((n, n))
+    u0 = jnp.asarray(u0_np)  # pre-upload: keep the tunnel out of dt
     for prec in ("highest", "default"):
         os.environ["NDSM_TPU_TRANSFER_PRECISION"] = prec
         _ENGINE_CACHE.clear()
         bvp = PoissonBVP(h, bcs, Options(precision="mixed"))
-        (uu, info) = bvp.solve(jnp.asarray(u0_np), None, zero_rhs=True)
+        (uu, info) = bvp.solve(u0, None, zero_rhs=True)
         jax.block_until_ready(uu)
         t0 = time.perf_counter()
-        (uu, info) = bvp.solve(jnp.asarray(u0_np), None, zero_rhs=True)
+        (uu, info) = bvp.solve(u0, None, zero_rhs=True)
         jax.block_until_ready(uu)
         dt = time.perf_counter() - t0
         print(f"solve [{prec:7s}]: {dt*1e3:8.2f} ms  cycles={info.cycles} "

@@ -80,12 +80,13 @@ def throughput(n=512, B=6, ms=5, K=30):
     R = jnp.asarray(rng.standard_normal((B, n, n)), jnp.float32)
     pts = float(B * n * n)
 
-    for mode in ("on", "off"):
+    os.environ["NDSM_TPU_PALLAS_2D"] = "1"
+    for mode in ("1", "0"):
         os.environ["NDSM_TPU_PALLAS"] = mode
         _ENGINE_CACHE.clear()
         eng = _cached_engine(
             h, bcs, ms, True, jnp.float32, coarse_direct=True,
-            use_pallas=mode,
+            use_pallas=("on" if mode == "1" else "off"),
         )
         f = jax.jit(
             lambda v, r: jax.lax.fori_loop(
@@ -118,10 +119,11 @@ def end_to_end(n=512, B=6):
     rhss = []
     for _ in range(B):
         r = rng.standard_normal((n, n))
-        rhss.append(r - r.mean())
-    u0s = [np.zeros((n, n))] * B
+        rhss.append(jnp.asarray(r - r.mean()))  # device-resident
+    u0s = [jnp.zeros((n, n)) for _ in range(B)]
+    os.environ["NDSM_TPU_PALLAS_2D"] = "1"
     res = {}
-    for mode in ("on", "off"):
+    for mode in ("1", "0"):
         os.environ["NDSM_TPU_PALLAS"] = mode
         _ENGINE_CACHE.clear()
         bvp = PoissonBVP(h, bcs, Options(precision="mixed"))
@@ -133,11 +135,12 @@ def end_to_end(n=512, B=6):
         print(f"chi-style batched solve {n}^2 x{B} [{mode:3s}]: "
               f"{dt*1e3:8.1f} ms  cycles={[i.cycles for i in infos]}")
     os.environ.pop("NDSM_TPU_PALLAS", None)
-    d = np.abs(res["on"][0] - res["off"][0]).max()
-    cyc_on = [i.cycles for i in res["on"][1]]
-    cyc_off = [i.cycles for i in res["off"][1]]
+    os.environ.pop("NDSM_TPU_PALLAS_2D", None)
+    d = np.abs(res["1"][0] - res["0"][0]).max()
+    cyc_on = [i.cycles for i in res["1"][1]]
+    cyc_off = [i.cycles for i in res["0"][1]]
     cyc_ok = all(abs(a - b) <= 1 for a, b in zip(cyc_on, cyc_off))
-    speed = res["off"][2] / res["on"][2]
+    speed = res["0"][2] / res["1"][2]
     print(f"solution diff {d:.3e}; cycle parity(+-1) {cyc_ok}; "
           f"kernel speedup {speed:.2f}x")
     if d > 1e-8 or not cyc_ok:
