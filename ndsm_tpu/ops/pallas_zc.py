@@ -55,6 +55,7 @@ BITWISE-equal to the masked XLA sweep (tests/test_pallas_zc.py).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -104,6 +105,20 @@ def pick_tiles_zc(
     is halo-free there (its edges are true global faces)."""
     nz, ny, nx = shape
     H_z, H_y = _halos(nsweeps, residual)
+    override = os.environ.get("NDSM_TPU_ZC_TILES")
+    if override:
+        # measurement knob "tz,ty" (scripts/perf_zc_tiles.py sweep);
+        # the window extents and VMEM budget checks still apply
+        tz, ty = (int(v) for v in override.split(","))
+        wz = min(nz, tz + 2 * H_z)
+        wy = min(ny, ty + 2 * H_y)
+        units = (9 if residual else 6) + (2 if with_cor else 0)
+        if (
+            nz % tz == 0 and ny % ty == 0 and tz % 2 == 0 and ty % 8 == 0
+            and wz % 2 == 0 and units * wz * wy * nx * 4 <= _VMEM_BUDGET
+        ):
+            return (tz, ty, wz, wy)
+        return None
     best, best_frac = None, 0.0
     for tz in range(2, min(nz, 256) + 1, 2):
         if nz % tz:
