@@ -112,7 +112,7 @@ def pick_tiles_zc(
         tz, ty = (int(v) for v in override.split(","))
         wz = min(nz, tz + 2 * H_z)
         wy = min(ny, ty + 2 * H_y)
-        units = (9 if residual else 6) + (2 if with_cor else 0)
+        units = (8 if residual else 5) + (2 if with_cor else 0)
         if (
             nz % tz == 0 and ny % ty == 0 and tz % 2 == 0 and ty % 8 == 0
             and wz % 2 == 0 and units * wz * wy * nx * 4 <= _VMEM_BUDGET
@@ -130,12 +130,14 @@ def pick_tiles_zc(
             wy = min(ny, ty + 2 * H_y)
             if wz % 2:
                 continue  # parity-invariant E/O split needs even W_z
-            # 2 dense double-buffered windows + 4 half work arrays; the
+            # 2 dense double-buffered windows + 2 half work arrays for
+            # the u colors (the rhs halves are deinterleaved IN PLACE
+            # into the rhs slot, which is dead after the split); the
             # residual variant additionally keeps the res halves and the
             # interleave temporaries live (measured ~3 more dense units
             # of Mosaic scoped stack at 256^3); the correction stream
             # adds one more double-buffered window.
-            units = (9 if residual else 6) + (2 if with_cor else 0)
+            units = (8 if residual else 5) + (2 if with_cor else 0)
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -310,8 +312,8 @@ def _zc_kernel(
     bufS = bufM = None
     if with_mean:
         bufS, refs = refs[0], refs[1:]
-    wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
-    refs = refs[4:]
+    wR, wB = refs[0], refs[1]
+    refs = refs[2:]
     if with_mean:
         bufM, refs = refs[0], refs[1:]
     in_sems, out_sems = refs
@@ -468,8 +470,14 @@ def _zc_kernel(
     rR, rB = split(bufR[slot])
     wR[...] = R0
     wB[...] = B0
-    wrR[...] = rR
-    wrB[...] = rB
+    # The rhs halves are stored IN PLACE over the just-consumed rhs
+    # window (bufR[slot] is dead after the split; the residual variant
+    # overwrites it with the residual at the end anyway) — this frees a
+    # dense VMEM unit, buying a larger tile fraction at 512^3, with the
+    # DMA schedule (and hence stream concurrency — see the PERF_NOTES
+    # round-8 single-buffering A/B) completely unchanged.
+    bufR[slot, 0:W_zc] = rR
+    bufR[slot, W_zc : 2 * W_zc] = rB
 
     def real_face_fix(opp, y_lo, y_hi, x_lo, x_hi):
         """Padded operation: the real y/x top rows' out-of-range upper
@@ -503,8 +511,8 @@ def _zc_kernel(
             return unew  # all-Neumann (mean variant): every point updates
         return jnp.where(mask, unew, own)
 
-    rR = wrR[...]
-    rB = wrB[...]
+    rR = bufR[slot, 0:W_zc]
+    rB = bufR[slot, W_zc : 2 * W_zc]
     for _ in range(nsweeps):
         wR[...] = half(wR[...], wB[...], rR, M_R, True)
         wB[...] = half(wB[...], wR[...], rB, M_B, False)
@@ -644,8 +652,8 @@ def _build(
         * (n_in - (1 if with_mean else 0))
         + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_mean else [])
         + [
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            # u-color work arrays only: the rhs halves live in place in
+            # the consumed rhs window slot (see kernel)
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
         ]
@@ -826,7 +834,7 @@ def pick_tiles_zc_sharded(
             wy = ty + 2 * H_y if ext_y else min(ny, ty + 2 * H_y)
             if wz % 2 or wy % 8:
                 continue
-            units = 13 if residual else 10
+            units = 12 if residual else 9
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -871,8 +879,8 @@ def _zc_sharded_kernel(
         res_ref, refs = refs[0], refs[1:]
     bufU, bufR, bufC = refs[0], refs[1], refs[2]
     refs = refs[3:]
-    wR, wB, wrR, wrB = refs[0], refs[1], refs[2], refs[3]
-    refs = refs[4:]
+    wR, wB = refs[0], refs[1]
+    refs = refs[2:]
     in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
@@ -969,8 +977,12 @@ def _zc_sharded_kernel(
     M_B = C_B != jnp.float32(2.0)
     wR[...] = R0
     wB[...] = B0
-    wrR[...] = rR
-    wrB[...] = rB
+    # rhs halves stored IN PLACE over the consumed rhs slot (the dense
+    # kernel's round-8 layout): frees a dense VMEM unit with the DMA
+    # schedule unchanged; the residual overwrite of bufR[slot] happens
+    # after the last half read.
+    bufR[slot, 0:W_zc] = rR
+    bufR[slot, W_zc : 2 * W_zc] = rB
 
     def half(own, opp, rhs_own, mask, own_is_first: bool):
         o1 = t1 if own_is_first else ~t1
@@ -988,8 +1000,8 @@ def _zc_sharded_kernel(
         unew = (s - rhs_own) * jnp.float32(w0)
         return jnp.where(mask, unew, own)
 
-    rR = wrR[...]
-    rB = wrB[...]
+    rR = bufR[slot, 0:W_zc]
+    rB = bufR[slot, W_zc : 2 * W_zc]
     for _ in range(nsweeps):
         wR[...] = half(wR[...], wB[...], rR, M_R, True)
         wB[...] = half(wB[...], wR[...], rB, M_B, False)
@@ -1119,8 +1131,7 @@ def zc_smooth_sharded_3d(
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
         ]
         + [
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
+            # u-color work arrays only (rhs halves in place in the slot)
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
             pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
         ]

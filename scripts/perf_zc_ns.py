@@ -75,7 +75,11 @@ def pass_rates(sizes):
                 d = float(jnp.max(jnp.abs(kern(u, r) - ref)))
                 float(jax.device_get(f(K, u, r)))
                 float(jax.device_get(f(K2, u, r)))
-                best = 0.0
+                # median of per-rep differenced rates: max-of-reps let a
+                # single tunnel hiccup in the K run inflate the rate past
+                # the physical bound (the round-8 "116 G at 512^3 ns=1"
+                # artifact — remeasured at ~27 G)
+                rates = []
                 for _ in range(REPS):
                     t0 = time.perf_counter()
                     float(jax.device_get(f(K, u, r)))
@@ -83,7 +87,8 @@ def pass_rates(sizes):
                     t0 = time.perf_counter()
                     float(jax.device_get(f(K2, u, r)))
                     d2 = time.perf_counter() - t0
-                    best = max(best, m**3 * (K2 - K) * ns / max(d2 - d1, 1e-9))
+                    rates.append(m**3 * (K2 - K) * ns / max(d2 - d1, 1e-9))
+                best = float(np.median(rates))
                 frac = pick[0] * pick[1] / (pick[2] * pick[3])
                 print(
                     f"  ns={ns} tiles={pick} frac={frac:.3f}: "
