@@ -104,17 +104,20 @@ def _arm_watchdog(seconds: float, metric: str):
     return t
 
 
-def _sol_bytes_per_pt_sweep(backend: str, ms: int) -> float:
+def _sol_bytes_per_pt_sweep(backend: str, ms: int, shape=None) -> float:
     """True streamed bytes per point-sweep for the measured smooth call.
 
     The Pallas kernels stream 12 B/point per HBM pass (f32 u in, rhs in,
-    u out — ops/pallas_zc.py docstring) and fuse up to
-    NDSM_TPU_PALLAS_NSWEEPS sweeps per pass; the engine composes an
-    ms-sweep smooth from ceil-chunks of that width.  The XLA compact
-    fallback runs 2 masked half-updates each touching 3 arrays.
+    u out — ops/pallas_zc.py docstring) and fuse a per-level pass width
+    (env NDSM_TPU_PALLAS_NSWEEPS, else ops/pallas_zc.auto_pass_width);
+    the engine composes an ms-sweep smooth from ceil-chunks of that
+    width.  The XLA compact fallback runs 2 masked half-updates each
+    touching 3 arrays.
     """
     if backend.startswith("pallas"):
-        ns = int(os.environ.get("NDSM_TPU_PALLAS_NSWEEPS", "2"))
+        from ndsm_tpu.mg.engine import _pallas_nsweeps
+
+        ns = min(ms, _pallas_nsweeps(shape))
         n_passes = ms // ns + (1 if ms % ns else 0)
         return 12.0 * n_passes / ms
     return 24.0
@@ -139,7 +142,8 @@ def smoother_throughput(m: int, precision: str):
     bcs = (("D", "D"), ("D", "D"), ("N", "N"))
     bvp = PoissonBVP(h, bcs, Options(precision="mixed"))
     eng = bvp._inner  # float32 engine: the production smoothing path
-    if eng._pallas_zc_fn(0, 2) is not None:
+    w0 = eng._pass_width(bvp.options.ms, 0)  # per-level auto width
+    if eng._pallas_zc_fn(0, w0) is not None:
         backend = "pallas-zc"
     elif eng._pallas_compact_fn(0, 2) is not None:
         backend = "pallas-compact"
@@ -175,7 +179,7 @@ def smoother_throughput(m: int, precision: str):
     sweeps = (K2 - K) * ms
     rate = m**3 * sweeps / dt
     bw = float(os.environ.get("NDSM_BENCH_HBM_GBS", "819")) * 1e9
-    sol = bw / _sol_bytes_per_pt_sweep(backend, ms)
+    sol = bw / _sol_bytes_per_pt_sweep(backend, ms, (m, m, m))
     return {
         "smoother_shape": m,
         "smoother_backend": backend,

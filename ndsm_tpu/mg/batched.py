@@ -258,7 +258,6 @@ class MultiBCSolver:
         from .engine import _pallas_min_points, _pallas_nsweeps
 
         interp = self.use_pallas == "interpret"
-        widths = range(1, max(1, min(self.options.ms, _pallas_nsweeps())) + 1)
         variants = ((False, False), (True, False), (False, True))
         for l in range(self.h.ngrids - 1):
             shape = self.h.shapes[l]
@@ -270,6 +269,10 @@ class MultiBCSolver:
             pshape = pallas_zc.padded_shape_3d(shape)
             if pshape is None:
                 continue
+            widths = range(
+                1,
+                max(1, min(self.options.ms, _pallas_nsweeps(pshape))) + 1,
+            )
             ok = all(
                 pallas_zc.zc_kernel_supported(
                     pshape, bcs, jnp.float32, n, interpret=interp,
@@ -531,7 +534,7 @@ class MultiBCSolver:
         if n >= 1 and u.dtype == jnp.float32:
             from .engine import _pallas_nsweeps
 
-            ns_star = min(n, _pallas_nsweeps())
+            ns_star = min(n, _pallas_nsweeps(self._work_shapes[level]))
             fns = self._zc_cor_fns(level, ns_star)
             if fns is not None:
                 u = jnp.stack(
@@ -548,7 +551,7 @@ class MultiBCSolver:
         if n >= 1 and u.dtype == jnp.float32:
             from .engine import _pallas_nsweeps
 
-            ns_star = min(n, _pallas_nsweeps())
+            ns_star = min(n, _pallas_nsweeps(self._work_shapes[level]))
             rem = n % ns_star
             last = rem if rem else ns_star
             fns = self._zc_res_fns(level, last)
@@ -589,7 +592,7 @@ class MultiBCSolver:
         if u.dtype == jnp.float32:
             from .engine import _pallas_nsweeps
 
-            ns_star = min(n, _pallas_nsweeps())
+            ns_star = min(n, _pallas_nsweeps(self._work_shapes[level]))
             if on_work and self._zc_fns(level, ns_star) is not None:
                 return jnp.stack(
                     [

@@ -54,14 +54,24 @@ def _pallas_min_points() -> int:
     return int(os.environ.get("NDSM_TPU_PALLAS_MIN_POINTS", 128 * 128 * 64))
 
 
-def _pallas_nsweeps() -> int:
-    """Sweeps fused per Pallas HBM pass.  2 measured fastest on v5e
-    (~29% SoL vs 24% for 1; >=4 sweeps exceed VMEM at 256^3 tiles —
-    per-sweep unrolled temporaries grow the Mosaic stack).  n-sweep
-    smoothing runs ceil(n/this) passes.  Env NDSM_TPU_PALLAS_NSWEEPS."""
+def _pallas_nsweeps(shape=None) -> int:
+    """Sweeps fused per Pallas HBM pass.  Env NDSM_TPU_PALLAS_NSWEEPS
+    pins a global width; otherwise the width is chosen PER LEVEL by
+    ops/pallas_zc.auto_pass_width (deepest width whose tile fraction
+    stays >= the measured 0.4 crossover — width 4 at 256^3, 2 at 512^3,
+    5+ on window-capped coarse levels).  ``shape=None`` (the sharded
+    engine's local blocks, whose fractions follow the sharded picker)
+    keeps the historical fixed default of 2."""
     import os
 
-    return max(1, int(os.environ.get("NDSM_TPU_PALLAS_NSWEEPS", 2)))
+    env = os.environ.get("NDSM_TPU_PALLAS_NSWEEPS")
+    if env is not None:
+        return max(1, int(env))
+    if shape is None or len(shape) != 3:
+        return 2
+    from ..ops.pallas_zc import auto_pass_width
+
+    return auto_pass_width(tuple(int(s) for s in shape), 8)
 
 
 __all__ = ["MGEngine"]
@@ -204,7 +214,6 @@ class MGEngine:
         if self.ms < 1:
             return  # smooth-free cycles never touch the kernels
         interp = self.use_pallas == "interpret"
-        widths = range(1, max(1, min(self.ms, _pallas_nsweeps())) + 1)
         for l in range(self.h.ngrids - 1):
             shape = self.h.shapes[l]
             if int(np.prod(shape)) < _pallas_min_points():
@@ -215,6 +224,11 @@ class MGEngine:
             pshape = pallas_zc.padded_shape_3d(shape)
             if pshape is None:
                 continue
+            # Every width the engine can compose on THIS padded shape
+            # (the per-level auto width and everything below it).
+            widths = range(
+                1, max(1, min(self.ms, _pallas_nsweeps(pshape))) + 1
+            )
             ok = True
             for n in widths:
                 for builder in (
@@ -432,14 +446,14 @@ class MGEngine:
         self._pallas_fns[key] = fn
         return fn
 
-    def _pass_width(self, n: int) -> int:
+    def _pass_width(self, n: int, level: int = 0) -> int:
         """Kernel sweeps fused per HBM pass: the 2D VMEM-resident kernel
         runs ALL n sweeps in one pass (the level is resident — no halo
         or traffic reason to chunk); the tiled 3D kernels use the
-        measured-optimal fused width (_pallas_nsweeps)."""
+        per-level measured-optimal fused width (_pallas_nsweeps)."""
         if self.h.ndim == 2:
             return min(n, 16)
-        return min(n, _pallas_nsweeps())
+        return min(n, _pallas_nsweeps(self._work_shapes[level]))
 
     def _pallas_zc_mean_fn(self, level: int):
         """All-Neumann single-sweep pass with in-kernel mean machinery
@@ -487,7 +501,7 @@ class MGEngine:
         bitwise-identical to t_smooth(u + cor, ...)."""
         n = self.ms
         if n >= 1 and self._on_work_storage(u, level):
-            ns_star = self._pass_width(n)
+            ns_star = self._pass_width(n, level)
             fc = self._pallas_zc_cor_fn(level, ns_star)
             if fc is not None:
                 u = fc(u, cor, rhs)
@@ -503,7 +517,7 @@ class MGEngine:
         Returns (u_smoothed, residual)."""
         n = self.ms
         if n >= 1 and self._on_work_storage(u, level):
-            ns_star = self._pass_width(n)
+            ns_star = self._pass_width(n, level)
             rem = n % ns_star
             last = rem if rem else ns_star
             fz = self._pallas_zc_res_fn(level, last)
@@ -561,7 +575,7 @@ class MGEngine:
         # mask-code array is built ONCE per smooth call (a traced XLA
         # value — as a per-pass expression XLA fails to CSE/hoist it and
         # the extra materializations cost ~40% of the smoothing phase).
-        ns_star = self._pass_width(n)
+        ns_star = self._pass_width(n, level)
         pz = self._pallas_zc_fn(level, ns_star)
         if pz is not None:
             q, rem = divmod(n, ns_star)

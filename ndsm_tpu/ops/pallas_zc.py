@@ -79,6 +79,7 @@ __all__ = [
     "zc_sharded_supported",
     "pick_tiles_zc",
     "pick_tiles_zc_sharded",
+    "auto_pass_width",
 ]
 
 # VMEM for: u window + rhs window double-buffered (4 dense units) plus
@@ -143,6 +144,24 @@ def pick_tiles_zc(
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:
                 best_frac, best = frac, (tz, ty, wz, wy)
+    return best
+
+
+@functools.lru_cache(maxsize=512)
+def auto_pass_width(shape: Tuple[int, int, int], ms: int) -> int:
+    """Deepest fused pass width whose PLAIN-variant tile fraction stays
+    >= 0.4 — the measured end-to-end crossover on this chip (PERF_NOTES
+    round 8): at 256^3, width 4 (frac 0.444) beats width 2 by 6.6% on
+    the full mixed solve, width 5 (frac 0.222) loses 8%; at 512^3 the
+    width-4 fraction collapses to 0.25 and width 2 (frac 0.444) wins.
+    Coarse levels cap windows at the full axis (halo-free there), so
+    they pick deep widths and run each smooth leg in one or two passes,
+    which also amortizes the per-pass dispatch cost."""
+    best = 1
+    for w in range(1, max(1, min(ms, 8)) + 1):
+        p = pick_tiles_zc(shape, w)
+        if p is not None and p[0] * p[1] / (p[2] * p[3]) >= 0.4:
+            best = w
     return best
 
 

@@ -722,6 +722,10 @@ class ShardedPoissonBVP(ShardStencilKernels):
         from ..ops import pallas_zc
 
         if level < self.seam and u.dtype == jnp.float32 and n >= 1:
+            # shape=None keeps the fixed width-2 default: the local
+            # blocks are halo-EXTENDED and their fractions follow
+            # pick_tiles_zc_sharded, not the dense picker the auto rule
+            # is calibrated on.
             ns_star = min(n, _pallas_nsweeps())
             rem = n % ns_star
             last = rem if rem else ns_star

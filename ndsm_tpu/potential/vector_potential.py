@@ -365,7 +365,15 @@ def compute_vector_potential(
             tuple(("N", "N") if (2 - axis) == comp else ("D", "D") for axis in range(3))
             for comp in range(3)
         ]
-        nsw = max(1, min(options.ms, _pallas_nsweeps()))
+        # The auto pass width is keyed on the storage the batched solver
+        # will actually smooth on (padded work shape when unaligned).
+        shape3 = (int(nz), int(ny), int(nx))
+        wshape = shape3
+        if ny % 8 or nx % 128:
+            p3 = pallas_zc.padded_shape_3d(shape3)
+            if p3 is not None:
+                wshape = p3
+        nsw = max(1, min(options.ms, _pallas_nsweeps(wshape)))
         # Padded coverage only activates at/above the min-points gate
         # (MultiBCSolver._plan_padding); below it only direct coverage
         # keeps the batched smoothing on kernels.

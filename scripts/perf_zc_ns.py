@@ -100,10 +100,10 @@ def pass_rates(sizes):
                 print(f"  ns={ns}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
-def solve(m=256):
+def solve(m=256, widths=("2", "3")):
     import subprocess
 
-    for nsw in ("2", "3"):
+    for nsw in widths:
         env = dict(os.environ, NDSM_TPU_PALLAS_NSWEEPS=nsw)
         p = subprocess.run(
             [sys.executable, "scripts/perf_phases.py", str(m)],
@@ -119,10 +119,13 @@ def solve(m=256):
 
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "pass"
-    sizes = [int(a) for a in sys.argv[2:]] or [256, 512]
     if mode == "pass":
+        sizes = [int(a) for a in sys.argv[2:]] or [256, 512]
         pass_rates(sizes)
     elif mode == "solve":
-        solve()
+        # solve [size] [ns ...]   e.g. `solve 256 2 4 5`
+        m = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        widths = sys.argv[3:] or ("2", "3")
+        solve(m, widths)
     else:
         sys.exit(f"unknown mode {mode!r} (pass|solve)")

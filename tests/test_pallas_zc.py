@@ -81,7 +81,27 @@ def test_pick_tiles_zc_properties():
     tz, ty, wz, wy = t
     assert 256 % tz == 0 and 256 % ty == 0
     assert tz % 2 == 0 and ty % 8 == 0 and wz % 2 == 0
-    assert 6 * wz * wy * 256 * 4 <= zc._VMEM_BUDGET
+    # 5 dense units: 2x2 double-buffered windows + 2 u-color halves
+    # (the rhs halves live in place in the consumed rhs slot)
+    assert 5 * wz * wy * 256 * 4 <= zc._VMEM_BUDGET
+
+
+def test_auto_pass_width():
+    """Per-level width rule: deepest width with tile fraction >= 0.4
+    (measured end-to-end crossover, PERF_NOTES round 8)."""
+    for m, ms in ((512, 8), (256, 8), (64, 8)):
+        w = zc.auto_pass_width((m, m, m), ms)
+        assert 1 <= w <= ms
+        p = zc.pick_tiles_zc((m, m, m), w)
+        assert p is not None
+        if w > 1:
+            assert p[0] * p[1] / (p[2] * p[3]) >= 0.4
+    # monotone capability: big windows on capped small levels go deep
+    assert zc.auto_pass_width((64, 64, 64), 8) >= zc.auto_pass_width(
+        (512, 512, 512), 8
+    )
+    # ms caps the scan
+    assert zc.auto_pass_width((64, 64, 64), 2) <= 2
 
 
 @pytest.mark.parametrize(
