@@ -296,6 +296,44 @@ def test_engine_residual_fusion_interpret(monkeypatch):
     np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_x), rtol=0, atol=5e-5)
 
 
+def test_pass_width_decomposition_bitwise(monkeypatch):
+    """The pass decomposition (pinned widths 1/2/4 and the per-level
+    auto default) is bitwise-invisible: every composition of the same
+    ms sweeps produces the identical smoothed array."""
+    from ndsm_tpu import GridHierarchy
+    from ndsm_tpu.mg.poisson import _cached_engine
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    n = 16
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+
+    outs = {}
+    for width in ("auto", "1", "2", "4"):
+        if width == "auto":
+            monkeypatch.delenv("NDSM_TPU_PALLAS_NSWEEPS", raising=False)
+        else:
+            monkeypatch.setenv("NDSM_TPU_PALLAS_NSWEEPS", width)
+        eng = _cached_engine(
+            h, bcs, 5, True, jnp.float32, use_pallas="interpret"
+        )
+        eng._pallas_fns.clear()  # cached engines memoize kernel fns
+        assert eng._pallas_zc_fn(0, eng._pass_width(5, 0)) is not None
+        outs[width] = np.asarray(eng.t_smooth(u, r, 0))
+        ur, rr = eng.t_smooth_residual(u, r, 0)
+        outs[width + "_res"] = (np.asarray(ur), np.asarray(rr))
+    monkeypatch.delenv("NDSM_TPU_PALLAS_NSWEEPS", raising=False)
+    for width in ("1", "2", "4"):
+        np.testing.assert_array_equal(outs[width], outs["auto"])
+        np.testing.assert_array_equal(outs[width + "_res"][0], outs["auto_res"][0])
+        np.testing.assert_array_equal(outs[width + "_res"][1], outs["auto_res"][1])
+
+
 @pytest.mark.parametrize("axes", [1, 2])
 def test_sharded_zc_smoother_interpret(monkeypatch, axes):
     """ShardedPoissonBVP with the per-shard zc kernel (interpret mode on
