@@ -105,6 +105,8 @@ def solve(m=256, widths=("2", "3")):
 
     for nsw in widths:
         env = dict(os.environ, NDSM_TPU_PALLAS_NSWEEPS=nsw)
+        if nsw == "auto":  # per-level default (pallas_zc.auto_pass_width)
+            env.pop("NDSM_TPU_PALLAS_NSWEEPS")
         p = subprocess.run(
             [sys.executable, "scripts/perf_phases.py", str(m)],
             env=env, capture_output=True, text=True, timeout=2700,

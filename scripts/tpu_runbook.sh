@@ -48,6 +48,14 @@ q_perf() {
   step perf_shard1 2700 python3 scripts/perf_shard1.py 256
 }
 
+q_widths() {
+  # Round-8 pass-width A/Bs on the fixed (pre-upload) harness + the
+  # V-cycle phase breakdown at the auto widths.
+  step widths_512 5400 python3 scripts/perf_zc_ns.py solve 512 2 4
+  step widths_256 5400 python3 scripts/perf_zc_ns.py solve 256 2 4 auto
+  step phases_256 1800 python3 scripts/perf_phases.py --phases 256
+}
+
 q_digits() {
   step digits_max  5400 python3 examples/integration_scaling.py --warm --scales 7.3 8 10 --out logs/rows_max.txt
   step digits_diff_max 60 python3 scripts/compare_golden.py logs/rows_max.txt /root/reference/tests/integration_test/results_test1.txt
@@ -58,6 +66,9 @@ q_digits() {
 case "$QUEUE" in
   headline) probe; q_headline ;;
   perf)     probe; q_perf ;;
+  widths)   probe; q_widths ;;
+  r8)       probe; q_widths; q_headline
+            NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 step bench_512 3400 python3 bench.py ;;
   reduced)  probe; q_perf; q_headline ;;
   full)
     probe

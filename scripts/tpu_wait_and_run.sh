@@ -37,7 +37,7 @@ while :; do
       echo "[$(date +%F' '%T)] claim succeeded but too close to the deadline; not launching" >> logs/wait.log
       exit 1
     fi
-    queue=full
+    queue=${NDSM_WAIT_QUEUE:-full}
     if [ "$FULL_UNTIL" -gt 0 ] && [ "$now" -ge "$FULL_UNTIL" ]; then
       queue=reduced
     fi
