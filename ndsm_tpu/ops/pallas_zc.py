@@ -82,10 +82,13 @@ __all__ = [
     "auto_pass_width",
 ]
 
-# VMEM for: u window + rhs window double-buffered (4 dense units) plus
-# the four half-width color work arrays (2 dense units) and compiler
-# scratch.  Per-core VMEM is ~16 MB.
-_VMEM_BUDGET = 12 * 1024 * 1024
+# VMEM for: u window + rhs window double-buffered (4 dense units; the
+# deinterleaved color halves live in place in their consumed slots) and
+# compiler scratch.  Per-core VMEM is ~16 MB; the 12 MiB default was
+# calibrated when 6 persistent units existed — env NDSM_TPU_ZC_VMEM
+# (bytes) is the measurement knob for re-calibrating now that only the
+# 4 window units persist (e.g. 14680064 unlocks frac 0.533 at 512^3).
+_VMEM_BUDGET = int(os.environ.get("NDSM_TPU_ZC_VMEM", 12 * 1024 * 1024))
 
 
 def _halos(nsweeps: int, residual: bool = False) -> Tuple[int, int]:
@@ -113,7 +116,7 @@ def pick_tiles_zc(
         tz, ty = (int(v) for v in override.split(","))
         wz = min(nz, tz + 2 * H_z)
         wy = min(ny, ty + 2 * H_y)
-        units = (8 if residual else 5) + (2 if with_cor else 0)
+        units = (7 if residual else 4) + (2 if with_cor else 0)
         if (
             nz % tz == 0 and ny % ty == 0 and tz % 2 == 0 and ty % 8 == 0
             and wz % 2 == 0 and units * wz * wy * nx * 4 <= _VMEM_BUDGET
@@ -131,14 +134,14 @@ def pick_tiles_zc(
             wy = min(ny, ty + 2 * H_y)
             if wz % 2:
                 continue  # parity-invariant E/O split needs even W_z
-            # 2 dense double-buffered windows + 2 half work arrays for
-            # the u colors (the rhs halves are deinterleaved IN PLACE
-            # into the rhs slot, which is dead after the split); the
-            # residual variant additionally keeps the res halves and the
-            # interleave temporaries live (measured ~3 more dense units
-            # of Mosaic scoped stack at 256^3); the correction stream
-            # adds one more double-buffered window.
-            units = (8 if residual else 5) + (2 if with_cor else 0)
+            # 2 dense double-buffered windows; both u and rhs color
+            # halves are deinterleaved IN PLACE into their own slots
+            # (dead after the split).  The residual variant additionally
+            # keeps the res halves and the interleave temporaries live
+            # (measured ~3 more dense units of Mosaic scoped stack at
+            # 256^3); the correction stream adds one more
+            # double-buffered window.
+            units = (7 if residual else 4) + (2 if with_cor else 0)
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -331,8 +334,6 @@ def _zc_kernel(
     bufS = bufM = None
     if with_mean:
         bufS, refs = refs[0], refs[1:]
-    wR, wB = refs[0], refs[1]
-    refs = refs[2:]
     if with_mean:
         bufM, refs = refs[0], refs[1:]
     in_sems, out_sems = refs
@@ -487,14 +488,14 @@ def _zc_kernel(
         u_win = u_win - bufS[slot][0, 0]
     R0, B0 = split(u_win)
     rR, rB = split(bufR[slot])
-    wR[...] = R0
-    wB[...] = B0
-    # The rhs halves are stored IN PLACE over the just-consumed rhs
-    # window (bufR[slot] is dead after the split; the residual variant
-    # overwrites it with the residual at the end anyway) — this frees a
-    # dense VMEM unit, buying a larger tile fraction at 512^3, with the
-    # DMA schedule (and hence stream concurrency — see the PERF_NOTES
-    # round-8 single-buffering A/B) completely unchanged.
+    # Both deinterleaved halves are stored IN PLACE over their
+    # just-consumed window slots (dead after the split; the out-DMA and
+    # the residual re-use the same slots for the interleaved results at
+    # the end anyway) — two dense VMEM units freed with the DMA schedule
+    # (and hence stream concurrency — see the PERF_NOTES round-8
+    # single-buffering A/B) completely unchanged.
+    bufU[slot, 0:W_zc] = R0
+    bufU[slot, W_zc : 2 * W_zc] = B0
     bufR[slot, 0:W_zc] = rR
     bufR[slot, W_zc : 2 * W_zc] = rB
 
@@ -532,12 +533,15 @@ def _zc_kernel(
 
     rR = bufR[slot, 0:W_zc]
     rB = bufR[slot, W_zc : 2 * W_zc]
+    uR = (slot, slice(0, W_zc))
+    uB = (slot, slice(W_zc, 2 * W_zc))
     for _ in range(nsweeps):
-        wR[...] = half(wR[...], wB[...], rR, M_R, True)
-        wB[...] = half(wB[...], wR[...], rB, M_B, False)
+        bufU[uR] = half(bufU[uR], bufU[uB], rR, M_R, True)
+        bufU[uB] = half(bufU[uB], bufU[uR], rB, M_B, False)
 
-    # ---- interleave back into the window buffer and ship the tile.
-    R, B = wR[...], wB[...]
+    # ---- interleave back into the window buffer and ship the tile
+    # (the loads materialize before the aliasing store).
+    R, B = bufU[uR], bufU[uB]
     E = jnp.where(t1, B, R)
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
@@ -667,15 +671,11 @@ def _build(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_out,
         out_shape=out_shape,
+        # No dense work scratch: both u and rhs color halves live in
+        # place in their consumed window slots (see kernel).
         scratch_shapes=[pltpu.VMEM((2, W_z, W_y, nx), jnp.float32)]
         * (n_in - (1 if with_mean else 0))
         + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_mean else [])
-        + [
-            # u-color work arrays only: the rhs halves live in place in
-            # the consumed rhs window slot (see kernel)
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-        ]
         + ([pltpu.VMEM((2, 8, 128), jnp.float32)] if with_mean else [])
         + [
             pltpu.SemaphoreType.DMA((2, n_in)),
@@ -853,7 +853,7 @@ def pick_tiles_zc_sharded(
             wy = ty + 2 * H_y if ext_y else min(ny, ty + 2 * H_y)
             if wz % 2 or wy % 8:
                 continue
-            units = 12 if residual else 9
+            units = 11 if residual else 8
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
                 continue
             frac = (tz * ty) / (wz * wy)
@@ -898,8 +898,6 @@ def _zc_sharded_kernel(
         res_ref, refs = refs[0], refs[1:]
     bufU, bufR, bufC = refs[0], refs[1], refs[2]
     refs = refs[3:]
-    wR, wB = refs[0], refs[1]
-    refs = refs[2:]
     in_sems, out_sems = refs
     i = jnp.int32(pl.program_id(0))
     j = jnp.int32(pl.program_id(1))
@@ -994,12 +992,12 @@ def _zc_sharded_kernel(
     C_R, C_B = split(bufC)
     M_R = C_R != jnp.float32(2.0)
     M_B = C_B != jnp.float32(2.0)
-    wR[...] = R0
-    wB[...] = B0
-    # rhs halves stored IN PLACE over the consumed rhs slot (the dense
-    # kernel's round-8 layout): frees a dense VMEM unit with the DMA
-    # schedule unchanged; the residual overwrite of bufR[slot] happens
-    # after the last half read.
+    # u and rhs halves stored IN PLACE over their consumed window slots
+    # (the dense kernel's round-8 layout): two dense VMEM units freed
+    # with the DMA schedule unchanged; the interleaved result/residual
+    # overwrite the slots only after the last half read.
+    bufU[slot, 0:W_zc] = R0
+    bufU[slot, W_zc : 2 * W_zc] = B0
     bufR[slot, 0:W_zc] = rR
     bufR[slot, W_zc : 2 * W_zc] = rB
 
@@ -1021,11 +1019,13 @@ def _zc_sharded_kernel(
 
     rR = bufR[slot, 0:W_zc]
     rB = bufR[slot, W_zc : 2 * W_zc]
+    uR = (slot, slice(0, W_zc))
+    uB = (slot, slice(W_zc, 2 * W_zc))
     for _ in range(nsweeps):
-        wR[...] = half(wR[...], wB[...], rR, M_R, True)
-        wB[...] = half(wB[...], wR[...], rB, M_B, False)
+        bufU[uR] = half(bufU[uR], bufU[uB], rR, M_R, True)
+        bufU[uB] = half(bufU[uB], bufU[uR], rB, M_B, False)
 
-    R, B = wR[...], wB[...]
+    R, B = bufU[uR], bufU[uB]
     E = jnp.where(t1, B, R)
     O = jnp.where(t1, R, B)
     bufU[slot] = jnp.stack([E, O], axis=1).reshape(W_z, W_y, nx)
@@ -1144,15 +1144,12 @@ def zc_smooth_sharded_3d(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_in,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(out_shape),
         out_shape=out_shape,
+        # No dense work scratch: u and rhs color halves live in place
+        # in their consumed window slots (see kernel).
         scratch_shapes=[
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
             pltpu.VMEM((2, W_z, W_y, nx), jnp.float32),
-        ]
-        + [
-            # u-color work arrays only (rhs halves in place in the slot)
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
-            pltpu.VMEM((W_zc, W_y, nx), jnp.float32),
         ]
         + [
             pltpu.SemaphoreType.DMA((2, n_in)),

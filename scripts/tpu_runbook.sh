@@ -49,8 +49,17 @@ q_perf() {
 }
 
 q_widths() {
-  # Round-8 pass-width A/Bs on the fixed (pre-upload) harness + the
-  # V-cycle phase breakdown at the auto widths.
+  # Round-8 kernel validation + measurements, in dependency order:
+  # 1. bitwise A/B of the in-place-halves kernel vs the saved capture
+  #    (dense outputs must be BITWISE; mean sums may re-grid),
+  # 2. pass-rate sweeps at the default and re-calibrated VMEM budgets,
+  # 3. end-to-end width A/Bs on the fixed (pre-upload) harness,
+  # 4. V-cycle phase breakdown at the auto widths.
+  if [ -f /tmp/zc_ab_r3.npz ]; then
+    step zc_ab 3000 python3 scripts/zc_ab_capture.py check /tmp/zc_ab_r3.npz
+  fi
+  step zc_pass 3000 python3 scripts/perf_zc_ns.py pass 256 512
+  step zc_pass_vmem14 3000 env NDSM_TPU_ZC_VMEM=14680064 python3 scripts/perf_zc_ns.py pass 256 512
   step widths_512 5400 python3 scripts/perf_zc_ns.py solve 512 2 4
   step widths_256 5400 python3 scripts/perf_zc_ns.py solve 256 2 4 auto
   step phases_256 1800 python3 scripts/perf_phases.py --phases 256

@@ -81,9 +81,9 @@ def test_pick_tiles_zc_properties():
     tz, ty, wz, wy = t
     assert 256 % tz == 0 and 256 % ty == 0
     assert tz % 2 == 0 and ty % 8 == 0 and wz % 2 == 0
-    # 5 dense units: 2x2 double-buffered windows + 2 u-color halves
-    # (the rhs halves live in place in the consumed rhs slot)
-    assert 5 * wz * wy * 256 * 4 <= zc._VMEM_BUDGET
+    # 4 dense units: 2x2 double-buffered windows (both u and rhs color
+    # halves live in place in their consumed window slots)
+    assert 4 * wz * wy * 256 * 4 <= zc._VMEM_BUDGET
 
 
 def test_auto_pass_width():
