@@ -90,6 +90,32 @@ __all__ = [
 # 4 window units persist (e.g. 14680064 unlocks frac 0.533 at 512^3).
 _VMEM_BUDGET = int(os.environ.get("NDSM_TPU_ZC_VMEM", 12 * 1024 * 1024))
 
+# Mosaic's compile-time scoped-stack allocation for the dense kernels
+# exceeds the picker's persistent-unit accounting: the in-place color
+# halves do NOT free their slots at the allocator level (Mosaic's
+# conservative live ranges keep the consumed window slot AND the halves
+# allocated), so the effective window-unit count is ``units + 2``, plus
+# ~1.5 tile-sized interleave temporaries.  Fitted on chip (round 8, when
+# the in-place change let the picker choose bigger windows and several
+# configs hit Mosaic's hard 16.00 MiB limit):
+#
+#   pick (plain)              model    Mosaic reported   outcome
+#   256^3 ns=1 w36x72         19.07M   18.58 MiB=19.48M  OOM
+#   512^3 ns=3 w28x48         18.09M   16.59 MiB=17.40M  OOM
+#   512^3 ns=4 w32x48         20.45M   18.91 MiB=19.83M  OOM
+#   256^3 ns=4 w48x48         15.73M   compiled          ok (50 G pt-sw/s)
+#   512^3 ns=2 w24x48         15.73M   compiled          ok (46 G pt-sw/s)
+#
+# Gate at 16.2M: every chip-validated pick passes, every observed OOM is
+# rejected, and the worst observed model under-prediction (0.41M) still
+# leaves headroom to the 16.78M hardware limit.
+_SCOPED_LIMIT = int(os.environ.get("NDSM_TPU_ZC_SCOPED", 16_200_000))
+
+
+def _scoped_ok(units: int, tz: int, ty: int, wz: int, wy: int, nx: int) -> bool:
+    scoped = ((units + 2) * wz * wy + 1.5 * tz * ty) * nx * 4
+    return scoped <= _SCOPED_LIMIT
+
 
 def _halos(nsweeps: int, residual: bool = False) -> Tuple[int, int]:
     """Dependency radius 2*nsweeps (+1 when the pass also computes the
@@ -120,6 +146,7 @@ def pick_tiles_zc(
         if (
             nz % tz == 0 and ny % ty == 0 and tz % 2 == 0 and ty % 8 == 0
             and wz % 2 == 0 and units * wz * wy * nx * 4 <= _VMEM_BUDGET
+            and _scoped_ok(units, tz, ty, wz, wy, nx)
         ):
             return (tz, ty, wz, wy)
         return None
@@ -143,6 +170,8 @@ def pick_tiles_zc(
             # double-buffered window.
             units = (7 if residual else 4) + (2 if with_cor else 0)
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
+                continue
+            if not _scoped_ok(units, tz, ty, wz, wy, nx):
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:

@@ -86,6 +86,46 @@ def test_pick_tiles_zc_properties():
     assert 4 * wz * wy * 256 * 4 <= zc._VMEM_BUDGET
 
 
+def test_pick_tiles_zc_scoped_stack_model():
+    """Every pick must satisfy the fitted Mosaic scoped-stack model
+    ((units+2) window units + 1.5 tile temporaries <= 16.2M headroom
+    under the 16 MiB hardware limit) — several picks regressed past
+    the hardware limit in round 8 when the in-place-halves change let
+    the picker choose bigger windows (observed compile ERRORS on chip:
+    256^3 ns=1 at 18.58 MiB, 512^3 ns=3 at 16.59 MiB, 512^3 ns=4 at
+    18.91 MiB, all against Mosaic's hard 16.00 MiB scoped limit)."""
+    shapes = [
+        (256, 256, 256), (512, 512, 512), (220, 224, 256),
+        (128, 128, 128), (110, 112, 128), (64, 64, 128),
+    ]
+    for shape in shapes:
+        nx = shape[2]
+        for ns in range(1, 9):
+            for res, cor, units in (
+                (False, False, 4), (True, False, 7), (False, True, 6),
+            ):
+                p = zc.pick_tiles_zc(shape, ns, residual=res, with_cor=cor)
+                if p is None:
+                    continue
+                tz, ty, wz, wy = p
+                scoped = ((units + 2) * wz * wy + 1.5 * tz * ty) * nx * 4
+                assert scoped <= zc._SCOPED_LIMIT, (shape, ns, res, cor, p)
+    # The observed-OOM picks specifically must be rejected by the gate.
+    for units, tz, ty, wz, wy, nx in (
+        (4, 32, 64, 36, 72, 256),  # 256^3 ns=1, 18.58 MiB
+        (4, 16, 32, 28, 48, 512),  # 512^3 ns=3, 16.59 MiB
+        (4, 16, 32, 32, 48, 512),  # 512^3 ns=4, 18.91 MiB
+    ):
+        assert not zc._scoped_ok(units, tz, ty, wz, wy, nx)
+    # ... while the chip-validated picks pass (50/46 G pt-sw/s runs).
+    assert zc._scoped_ok(4, 32, 32, 48, 48, 256)  # 256^3 ns=4
+    assert zc._scoped_ok(4, 16, 32, 24, 48, 512)  # 512^3 ns=2
+    # Calibrated auto widths are unchanged by the scoped gate.
+    assert zc.auto_pass_width((256, 256, 256), 8) == 4
+    assert zc.auto_pass_width((512, 512, 512), 8) == 2
+    assert zc.auto_pass_width((220, 224, 256), 8) == 4
+
+
 def test_auto_pass_width():
     """Per-level width rule: deepest width with tile fraction >= 0.4
     (measured end-to-end crossover, PERF_NOTES round 8)."""
