@@ -4,7 +4,7 @@
 
 PY_CPU := env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python3
 
-.PHONY: test test-fast bench native clean
+.PHONY: test test-fast bench native clean snapshot-check
 
 native:
 	python3 -c "from ndsm_tpu.native import build; print(build(force=True))"
@@ -21,3 +21,11 @@ bench:
 clean:
 	rm -f ndsm_tpu/native/libndsm_core.so
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+# Pre-snapshot gate (VERDICT r3 item 2): a round must never end with a
+# red suite or a broken graft entry.  Run before the final commit of a
+# session; exits nonzero on any failure.
+snapshot-check: test
+	$(PY_CPU) -c "import __graft_entry__ as g; fn, args = g.entry(); fn(*args); g.dryrun_multichip(8); print('graft entry OK')"
+	@git status --porcelain || true
+	@echo "snapshot-check PASSED"

@@ -13,7 +13,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["deriv_axis", "curl", "deriv_axis_np", "curl_np"]
+__all__ = [
+    "deriv_axis",
+    "curl",
+    "deriv_axis_np",
+    "curl_np",
+    "curl_np_into",
+]
 
 
 def _sl(u: jax.Array, axis: int, lo: int, hi) -> jax.Array:
@@ -116,3 +122,67 @@ def curl_np(A, dq):
     dAy_dx = deriv_axis_np(Ay, dx, -1)
     dAx_dy = deriv_axis_np(Ax, dy, -2)
     return _np.stack([dAz_dy - dAy_dz, dAx_dz - dAz_dx, dAy_dx - dAx_dy])
+
+
+def _deriv_z_rows_np(F, h, z0: int, z1: int, compute_dtype):
+    """Rows [z0, z1) of deriv_axis_np(F, h, axis=-3): the same per-row
+    expressions (central interior, one-sided [-3,+4,-1]/(2h) at the two
+    global faces), reading only F[max(z0-1,0) : min(z1+1, n)] plus the
+    3-point one-sided stencils when the range touches a face."""
+    import numpy as _np
+
+    n = F.shape[0]
+    inv2h = _np.asarray(0.5 / _np.asarray(h), dtype=compute_dtype)
+
+    def rows(a, b):
+        r = F[a:b]
+        return r if r.dtype == compute_dtype else r.astype(compute_dtype)
+
+    parts = []
+    if z0 == 0:
+        parts.append((-3.0 * rows(0, 1) + 4.0 * rows(1, 2) - rows(2, 3)) * inv2h)
+    a, b = max(z0, 1), min(z1, n - 1)
+    if b > a:
+        parts.append((rows(a + 1, b + 1) - rows(a - 1, b - 1)) * inv2h)
+    if z1 == n:
+        parts.append(
+            (3.0 * rows(n - 1, n) - 4.0 * rows(n - 2, n - 1) + rows(n - 3, n - 2))
+            * inv2h
+        )
+    return parts[0] if len(parts) == 1 else _np.concatenate(parts, axis=0)
+
+
+def curl_np_into(A, dq, out, z0: int = 0, z1=None):
+    """Write ``out[:, z0:z1] = curl_np(A)[:, z0:z1]`` bitwise-identically,
+    reading only A[:, z0-1 : z1+1] (plus the 3-row one-sided stencils at
+    the global z faces).  Differencing runs in float64 regardless of the
+    dtypes of ``A``/``out`` (matching the production host-curl path,
+    which upcasts a float32 download before differencing).
+
+    This is the chunk kernel of the pipelined download+curl: each z
+    chunk's curl is computed while later chunks are still in flight,
+    hiding the host curl entirely behind the device->host transfer.
+    """
+    import numpy as _np
+
+    A = _np.asarray(A)
+    nz = A.shape[1]
+    z1 = nz if z1 is None else z1
+    cd = _np.float64
+    Ax, Ay, Az = A[0], A[1], A[2]
+    dx, dy, dz = dq[0], dq[1], dq[2]
+
+    def chunk(F):
+        r = F[z0:z1]
+        return r if r.dtype == cd else r.astype(cd)
+
+    dAz_dy = deriv_axis_np(chunk(Az), dy, -2)
+    dAy_dz = _deriv_z_rows_np(Ay, dz, z0, z1, cd)
+    dAx_dz = _deriv_z_rows_np(Ax, dz, z0, z1, cd)
+    dAz_dx = deriv_axis_np(chunk(Az), dx, -1)
+    dAy_dx = deriv_axis_np(chunk(Ay), dx, -1)
+    dAx_dy = deriv_axis_np(chunk(Ax), dy, -2)
+    out[0, z0:z1] = dAz_dy - dAy_dz
+    out[1, z0:z1] = dAx_dz - dAz_dx
+    out[2, z0:z1] = dAy_dx - dAx_dy
+    return out

@@ -113,6 +113,12 @@ _SCOPED_LIMIT = int(os.environ.get("NDSM_TPU_ZC_SCOPED", 16_200_000))
 
 
 def _scoped_ok(units: int, tz: int, ty: int, wz: int, wy: int, nx: int) -> bool:
+    """Fitted on PLAIN (units=4) picks only.  For the residual (7) and
+    with_cor (6) variants the unit count already includes measured live
+    halves, so the +2 may double-count there — the gate is intentionally
+    conservative for those variants (ADVICE r3); their windows are
+    halo-deeper anyway, so the fraction loss is small.  On-chip
+    recalibration knob: NDSM_TPU_ZC_SCOPED."""
     scoped = ((units + 2) * wz * wy + 1.5 * tz * ty) * nx * 4
     return scoped <= _SCOPED_LIMIT
 
@@ -884,6 +890,14 @@ def pick_tiles_zc_sharded(
                 continue
             units = 11 if residual else 8
             if units * wz * wy * nx * 4 > _VMEM_BUDGET:
+                continue
+            # Same Mosaic scoped-stack gate as the dense picker: the
+            # (units+2) allocator behavior was fitted on the dense
+            # kernels (in-place halves keep their consumed slot live);
+            # the sharded kernel splits colors the same way, so apply
+            # the gate conservatively here too (no sharded on-chip OOM
+            # calibration exists — multi-chip hardware is unavailable).
+            if not _scoped_ok(units, tz, ty, wz, wy, nx):
                 continue
             frac = (tz * ty) / (wz * wy)
             if frac > best_frac:

@@ -14,7 +14,14 @@ from typing import Optional, Tuple
 # Error codes (reference: fortran/ndsm_poisson.f90:46-47)
 IERR_SUCCESS = 0  #: solve converged within ncycles_max
 IERR_COVFAIL = 1  #: V-cycle iteration hit ncycles_max without du < vc_tol
-IERR_BADMESH = 2  #: invalid mesh (reference: ndsm_vector_potential.f90:213-216)
+#: invalid mesh (< 2 points along an axis).  The reference RETURNS a
+#: nonzero flag for this instead of raising (ndsm_vector_potential.f90:
+#: 212-215) but reuses the value 1 there; a distinct code keeps
+#: convergence failure and input failure distinguishable (deliberate
+#: fix, same no-exception contract).  Returned by vector_potential with
+#: A = 0 and B = the input b, mirroring the reference's untouched
+#: output buffers on this path.
+IERR_BADMESH = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -179,3 +186,8 @@ class VectorPotentialInfo:
     chi: Tuple[SolveInfo, ...] = ()
     components: Tuple[SolveInfo, ...] = ()
     wall_time: float = 0.0
+    #: per-phase wall seconds (keys: faces, chi, solve3d, post, fetch,
+    #: curl — the last two only on the host-curl path).  The reference
+    #: has a single whole-solve timer (ROPT_TIM); this decomposes it so
+    #: transfer-bound and compute-bound time are distinguishable.
+    phases: Optional[dict] = None

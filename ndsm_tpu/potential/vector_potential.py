@@ -111,6 +111,7 @@ from ..utils.caching import BoundedCache as _BoundedCache
 
 _DIST_BVP_CACHE: _BoundedCache = _BoundedCache(maxsize=32)
 _MBS_CACHE: _BoundedCache = _BoundedCache(maxsize=16)
+_SLAB_SPLIT_CACHE: _BoundedCache = _BoundedCache(maxsize=16)
 
 
 def compute_vector_potential(
@@ -134,11 +135,40 @@ def compute_vector_potential(
       info: per-solve diagnostics.
     """
     t0 = time.perf_counter()
+    phases: dict = {}
+    _t_last = [t0]
+
+    def _mark(name, sync=None):
+        """Record wall time since the previous mark under ``name``.
+        Syncing on the phase's output keeps the attribution honest; the
+        phases are serialized by data dependencies anyway, so the only
+        added cost is one device round-trip per boundary."""
+        if sync is not None:
+            jax.block_until_ready(sync)
+        now = time.perf_counter()
+        phases[name] = phases.get(name, 0.0) + (now - _t_last[0])
+        _t_last[0] = now
+
     x, y, z = (np.asarray(m, dtype=np.float64) for m in meshes)
     mesh_xyz = (x, y, z)
     for i, m in enumerate(mesh_xyz):
-        if m.ndim != 1 or m.size < 2:
-            raise ValueError(f"mesh vector {i} must be 1-D with >= 2 points")
+        if m.ndim != 1:
+            raise ValueError(f"mesh vector {i} must be 1-D")
+        if m.size < 2:
+            # The reference RETURNS a nonzero flag for a too-small mesh
+            # instead of raising (ndsm_vector_potential.f90:212-215,
+            # where it reuses the value 1); IERR_BADMESH keeps input
+            # failure distinguishable from convergence failure.  Output
+            # contract mirrors the reference's untouched buffers: A = 0,
+            # B = the input b.
+            from ..options import IERR_BADMESH
+
+            b_arr = np.asarray(b, dtype=np.float64)
+            A0 = np.zeros_like(b_arr)
+            info = VectorPotentialInfo(
+                ierr=IERR_BADMESH, wall_time=time.perf_counter() - t0
+            )
+            return IERR_BADMESH, A0, b_arr.copy(), info
 
     mode = options.resolve_precision()
     dtype = jnp.float32 if mode == "fp32" else jnp.float64
@@ -175,6 +205,7 @@ def compute_vector_potential(
             spacings.append((float(dq[d2]), float(dq[d1])))
     areas = tuple(float(Lq[d1] * Lq[d2]) for (d1, d2) in F.FACE_DIMS)
     chi_rhs, phi = _phase_pre(tuple(bn), tuple(spacings), areas)
+    _mark("faces", chi_rhs)
 
     # ------------------------------------------------------------------
     # Six all-Neumann 2D solves: laplace(chi) = Bn - Phi/Area
@@ -227,6 +258,8 @@ def compute_vector_potential(
         for k, f in enumerate(faces_in_group):
             chi[f] = us[k]
             chi_info[f] = infos[k]
+
+    _mark("chi", chi)
 
     # ------------------------------------------------------------------
     # At = -grad(chi) x n, edge derivatives zeroed
@@ -397,6 +430,7 @@ def compute_vector_potential(
         A = _solve_components_batched()
     else:
         A = _solve_components(None)
+    _mark("solve3d", A)
 
     # ------------------------------------------------------------------
     # Flux-balance correction + curl (reference :453-477; default order:
@@ -412,10 +446,8 @@ def compute_vector_potential(
     if host_curl:
         # Order 0: B = curl(final A) exactly, so compute it on the host
         # from the A we download anyway — ulp-identical to the device
-        # result (ops/deriv.curl_np) at HALF the result traffic.
+        # result (ops/deriv.curl_np_into) at HALF the result traffic.
         # Decisive on slow links (tunneled runtimes); Options.host_curl.
-        from ..ops.deriv import curl_np
-
         A = _phase_post_acorr(
             A,
             phi,
@@ -425,40 +457,10 @@ def compute_vector_potential(
             tuple(float(v) for v in Lq),
             out_dtype,
         )
-        # Download on concurrent streams: relays that cap per-stream
-        # throughput (this container's ~25 MB/s) aggregate across
-        # connections; on a fast local link this is a harmless parallel
-        # device_get.  Each component splits into z-slabs so the stream
-        # count (NDSM_TPU_FETCH_STREAMS, default 6) exceeds 3.
-        import concurrent.futures as _cf
-
-        nstreams = max(1, int(os.environ.get("NDSM_TPU_FETCH_STREAMS", "6")))
-        per_comp = max(1, -(-nstreams // 3))
-        nz0 = int(A.shape[1])
-        bounds = [
-            (k * nz0) // per_comp for k in range(per_comp)
-        ] + [nz0]
-        tasks = [
-            (i, bounds[k], bounds[k + 1])
-            for i in range(3)
-            for k in range(per_comp)
-            if bounds[k + 1] > bounds[k]
-        ]
-        host = np.empty(tuple(A.shape), dtype=out_dtype)
-        slabs = [A[i, z0:z1] for (i, z0, z1) in tasks]
-
-        def _fetch(k):
-            i, z0, z1 = tasks[k]
-            host[i, z0:z1] = np.asarray(slabs[k])
-
-        with _cf.ThreadPoolExecutor(len(tasks)) as _ex:
-            list(_ex.map(_fetch, range(len(tasks))))
-        A = host
-        # Differencing is computed in f64 even for float32 outputs (the
-        # f32 download already rounded A; don't add f32 differencing
-        # rounding on top), then cast back to the requested dtype.
-        B = curl_np(A.astype(np.float64, copy=False), tuple(float(v) for v in dq))
-        B = B.astype(out_dtype, copy=False)
+        _mark("post", A)
+        A, B = _fetch_and_curl_pipelined(
+            A, tuple(float(v) for v in dq), out_dtype, _mark
+        )
     else:
         A, B = _phase_post(
             A,
@@ -471,6 +473,7 @@ def compute_vector_potential(
             int(options.flux_correction_order),
             out_dtype,
         )
+        _mark("post", (A, B))
 
     ierr = max([s.ierr for s in chi_info] + [s.ierr for s in comp_info])
     info = VectorPotentialInfo(
@@ -478,8 +481,102 @@ def compute_vector_potential(
         chi=tuple(chi_info),
         components=tuple(comp_info),
         wall_time=time.perf_counter() - t0,
+        phases=phases,
     )
     return ierr, A, B, info
+
+
+def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark):
+    """Download A on concurrent z-slab streams and compute B = curl(A)
+    on the host, pipelined: each z chunk's curl runs as soon as its
+    neighborhood (chunks k-1, k, k+1 of all three components) has
+    landed, so the host curl hides behind the transfer instead of
+    serializing after it (round-4 phase data: the serial host curl was
+    4.6 s of the 16.7 s headline at 220^3).
+
+    Relays that cap per-stream throughput (this container's tunnel)
+    aggregate across connections; on a fast local link the concurrency
+    is harmless.  Stream count: NDSM_TPU_FETCH_STREAMS (default 6);
+    chunk count per component is at least 8 (when nz allows) so curl
+    work overlaps even with few streams.
+
+    Bitwise-identical to the serial path: ops/deriv.curl_np_into
+    computes the same per-row expressions (differencing in float64 even
+    for float32 outputs — the download already rounded A; don't add
+    differencing rounding on top).
+    """
+    import concurrent.futures as _cf
+    import threading as _th
+
+    from ..ops.deriv import curl_np_into
+
+    nstreams = max(1, int(os.environ.get("NDSM_TPU_FETCH_STREAMS", "6")))
+    nz0 = int(A_dev.shape[1])
+    # >= 3 rows per chunk (the one-sided z stencils at the global faces
+    # span 3 rows, and curl chunk k reads only chunks k-1..k+1).
+    per_comp = max(1, min(max(-(-nstreams // 3), 8), nz0 // 3))
+    bounds = tuple(
+        (k * nz0) // per_comp for k in range(per_comp)
+    ) + (nz0,)
+    tasks = [
+        (i, k)
+        for i in range(3)
+        for k in range(per_comp)
+        if bounds[k + 1] > bounds[k]
+    ]
+    host = np.empty(tuple(A_dev.shape), dtype=out_dtype)
+    B = np.empty(tuple(A_dev.shape), dtype=out_dtype)
+    # ONE jitted program produces every slab: per-slab __getitem__ would
+    # compile a separate XLA program per (component, range) — ~24 remote
+    # compiles on tunneled runtimes.  Cached by (shape, dtype, bounds).
+    key = (tuple(A_dev.shape), jnp.dtype(A_dev.dtype).name, bounds)
+    split_fn = _SLAB_SPLIT_CACHE.get(key)
+    if split_fn is None:
+        split_fn = jax.jit(
+            lambda a: tuple(
+                a[i, bounds[k] : bounds[k + 1]] for (i, k) in tasks
+            )
+        )
+        _SLAB_SPLIT_CACHE.put(key, split_fn)
+    slabs = dict(zip(tasks, split_fn(A_dev)))
+    jax.block_until_ready(list(slabs.values()))
+    _mark("slab_split")
+
+    done = np.zeros((3, per_comp), dtype=bool)
+    curled = np.zeros(per_comp, dtype=bool)
+    lock = _th.Lock()
+    curl_ex = _cf.ThreadPoolExecutor(max_workers=3)
+    curl_futs = []
+
+    def _ready(j):
+        ks = range(max(0, j - 1), min(per_comp, j + 2))
+        return all(done[i, k] for i in range(3) for k in ks)
+
+    def _curl_chunk(j):
+        curl_np_into(host, dq, B, bounds[j], bounds[j + 1])
+
+    def _fetch(t):
+        i, k = t
+        host[i, bounds[k] : bounds[k + 1]] = np.asarray(slabs[t])
+        newly = []
+        with lock:
+            done[i, k] = True
+            for j in range(max(0, k - 2), min(per_comp, k + 3)):
+                if not curled[j] and _ready(j):
+                    curled[j] = True
+                    newly.append(j)
+        for j in newly:
+            curl_futs.append(curl_ex.submit(_curl_chunk, j))
+
+    with _cf.ThreadPoolExecutor(min(nstreams, len(tasks))) as _ex:
+        list(_ex.map(_fetch, tasks))
+    _mark("fetch")
+    for f in curl_futs:
+        f.result()
+    curl_ex.shutdown()
+    assert bool(curled.all()), "curl pipeline missed a chunk"
+    _mark("curl")
+    return host, B
 
 
 def _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A):

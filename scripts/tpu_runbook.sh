@@ -36,8 +36,11 @@ probe() {
 
 q_headline() {
   # Golden-gated headline bench: digit re-verification + f32-download
-  # mode + 256^3/512^3 smoother SoL fields.
-  NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_REPS=2 NDSM_BENCH_N=220 step bench_220 3400 python3 bench.py
+  # mode + 256^3/512^3 smoother SoL fields.  (env vars go through
+  # `env` INSIDE the step invocation — a VAR=... prefix on a shell
+  # function is bash-specific temporary export and leaks under POSIX
+  # mode; ADVICE r3.)
+  step bench_220 3400 env NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_REPS=2 NDSM_BENCH_N=220 python3 bench.py
 }
 
 q_perf() {
@@ -77,13 +80,13 @@ case "$QUEUE" in
   perf)     probe; q_perf ;;
   widths)   probe; q_widths ;;
   r8)       probe; q_widths; q_headline
-            NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 step bench_512 3400 python3 bench.py ;;
+            step bench_512 3400 env NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 python3 bench.py ;;
   reduced)  probe; q_perf; q_headline ;;
   full)
     probe
     q_headline
     q_perf
-    NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 step bench_512 3400 python3 bench.py
+    step bench_512 3400 env NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 python3 bench.py
     q_digits
     ;;
   *) echo "unknown queue: $QUEUE"; exit 2 ;;

@@ -65,11 +65,32 @@ def test_interior_of_b_ignored():
     np.testing.assert_allclose(B1, B2, atol=1e-12)
 
 
-def test_bad_mesh_raises():
+def test_bad_mesh_returns_ierr_badmesh():
+    """A < 2-point mesh RETURNS a flag, as the reference does
+    (ndsm_vector_potential.f90:212-215 — no exception, nonzero ierr),
+    with A = 0 and B = the input b (the reference leaves its output
+    buffers untouched on this path).  IERR_BADMESH=2 keeps it
+    distinguishable from IERR_COVFAIL (the reference reuses 1)."""
+    from ndsm_tpu.options import IERR_BADMESH
+
+    b = np.arange(3 * 8 * 8 * 1, dtype=float).reshape(3, 8, 8, 1)
+    ierr, A, B = vector_potential(
+        np.array([0.0]), np.linspace(0, 1, 8), np.linspace(0, 1, 8),
+        b.copy(),
+    )
+    assert ierr == IERR_BADMESH == 2
+    assert np.array_equal(A, np.zeros_like(b))
+    assert np.array_equal(B, b)
+
+
+def test_bad_mesh_shape_still_raises():
+    """Malformed arrays (a 2-D 'mesh vector') are programming errors and
+    still raise — only the reference-representable too-small-mesh case
+    takes the flag path."""
     with pytest.raises(ValueError):
         vector_potential(
-            np.array([0.0]), np.linspace(0, 1, 8), np.linspace(0, 1, 8),
-            np.zeros((3, 8, 8, 1)),
+            np.zeros((2, 2)), np.linspace(0, 1, 8), np.linspace(0, 1, 8),
+            np.zeros((3, 8, 8, 2)),
         )
 
 

@@ -2,6 +2,8 @@
 integration case (truncation-error scaling + golden-table regression) and
 pipeline-piece checks (fluxes, curl, At boundary data)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -111,6 +113,62 @@ def test_host_curl_ulp_identical():
     B_host = curl_np(A, dq)
     scale = np.abs(B_dev).max()
     assert np.abs(B_host - B_dev).max() < 1e-13 * scale
+
+
+def test_curl_np_into_chunked_bitwise():
+    """ops/deriv.curl_np_into over any z-chunking is BITWISE equal to
+    the one-shot curl_np (same per-row expressions; slicing changes no
+    values) — the invariant behind the pipelined download+curl."""
+    from ndsm_tpu.ops.deriv import curl_np, curl_np_into
+
+    rng = np.random.default_rng(7)
+    dq = (0.013, 0.017, 0.021)
+    for nz, cuts in [(13, [0, 3, 4, 9, 13]), (13, [0, 13]), (3, [0, 3]),
+                     (16, [0, 5, 10, 16])]:
+        A = rng.standard_normal((3, nz, 7, 9))
+        want = curl_np(A, dq)
+        out = np.empty_like(want)
+        for z0, z1 in zip(cuts[:-1], cuts[1:]):
+            curl_np_into(A, dq, out, z0, z1)
+        assert np.array_equal(out, want)
+
+    # float32 storage: differencing upcasts to f64 per chunk, exactly
+    # like the serial path's full-array upcast, then rounds once into
+    # the f32 output.
+    A32 = rng.standard_normal((3, 12, 6, 8)).astype(np.float32)
+    want32 = curl_np(A32.astype(np.float64), dq).astype(np.float32)
+    out32 = np.empty_like(A32)
+    for z0, z1 in [(0, 4), (4, 11), (11, 12)]:
+        curl_np_into(A32, dq, out32, z0, z1)
+    assert np.array_equal(out32, want32)
+
+
+def test_fetch_and_curl_pipelined_matches_serial():
+    """The pipelined fetch+curl helper returns (A, B) identical to the
+    serial fetch-then-curl under several stream counts (readiness
+    bookkeeping, chunk boundaries, both output dtypes)."""
+    import jax.numpy as jnp
+
+    from ndsm_tpu.ops.deriv import curl_np
+    from ndsm_tpu.potential.vector_potential import _fetch_and_curl_pipelined
+
+    rng = np.random.default_rng(3)
+    dq = (0.05, 0.04, 0.03)
+    A = rng.standard_normal((3, 22, 10, 12))
+    for out_dtype, streams in [("float64", "1"), ("float64", "6"),
+                               ("float32", "16")]:
+        A_dev = jnp.asarray(A).astype(out_dtype)
+        want_A = np.asarray(A_dev)
+        want_B = curl_np(want_A.astype(np.float64), dq).astype(out_dtype)
+        os.environ["NDSM_TPU_FETCH_STREAMS"] = streams
+        try:
+            got_A, got_B = _fetch_and_curl_pipelined(
+                A_dev, dq, out_dtype, lambda *_a, **_k: None
+            )
+        finally:
+            del os.environ["NDSM_TPU_FETCH_STREAMS"]
+        assert np.array_equal(got_A, want_A)
+        assert np.array_equal(got_B, want_B)
 
 
 def test_host_curl_pipeline_identical():
