@@ -123,6 +123,15 @@ class Options:
     #: safe for production use since the outputs' truncation error is far
     #: above float32 resolution (the solve itself is unaffected).
     output_dtype: str = "float64"
+    #: Wire format of the host-curl result download (float64 outputs
+    #: only).  "f64" ships raw float64 (8 B/point, bit-exact).
+    #: "split16" ships float32 + an int16 fixed-point correction
+    #: (6 B/point, 25% less transfer); reconstruction error is bounded
+    #: by max|A - f32(A)| / 32767 (~2e-13 for O(1) fields — five
+    #: orders below the h^2 truncation error and below the printed
+    #: golden-digit resolution; bench gates this on the golden tables).
+    #: Ignored for float32 outputs and on the device-curl path.
+    fetch_encoding: str = "f64"
     ex_tol: float = 1e-13
     vc_tol: float = 1e-10
     mean: bool = False

@@ -44,7 +44,7 @@ from ..options import Options, VectorPotentialInfo
 from ..ops.deriv import curl
 from ..ops.reduce import trapz_2d
 from ..mg.poisson import get_poisson_bvp
-from ..utils.msgs import debug_msg
+from ..utils.msgs import debug_msg, warn
 from . import faces as F
 
 __all__ = ["compute_vector_potential"]
@@ -459,7 +459,11 @@ def compute_vector_potential(
         )
         _mark("post", A)
         A, B = _fetch_and_curl_pipelined(
-            A, tuple(float(v) for v in dq), out_dtype, _mark
+            A,
+            tuple(float(v) for v in dq),
+            out_dtype,
+            _mark,
+            encoding=str(getattr(options, "fetch_encoding", "f64")),
         )
     else:
         A, B = _phase_post(
@@ -486,7 +490,7 @@ def compute_vector_potential(
     return ierr, A, B, info
 
 
-def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark):
+def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark, encoding="f64"):
     """Download A on concurrent z-slab streams and compute B = curl(A)
     on the host, pipelined: each z chunk's curl runs as soon as its
     neighborhood (chunks k-1, k, k+1 of all three components) has
@@ -505,6 +509,7 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark):
     for float32 outputs — the download already rounded A; don't add
     differencing rounding on top).
     """
+    global _SPLIT16_BROKEN
     import concurrent.futures as _cf
     import threading as _th
 
@@ -526,23 +531,66 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark):
     ]
     host = np.empty(tuple(A_dev.shape), dtype=out_dtype)
     B = np.empty(tuple(A_dev.shape), dtype=out_dtype)
+    split16 = (
+        encoding == "split16" and jnp.dtype(out_dtype) == jnp.float64
+        and not _SPLIT16_BROKEN
+    )
     # ONE jitted program produces every slab: per-slab __getitem__ would
     # compile a separate XLA program per (component, range) — ~24 remote
-    # compiles on tunneled runtimes.  Cached by (shape, dtype, bounds).
-    key = (tuple(A_dev.shape), jnp.dtype(A_dev.dtype).name, bounds)
+    # compiles on tunneled runtimes.  Cached by (shape, dtype, bounds,
+    # encoding).  The split16 program additionally encodes: hi = f32(A),
+    # q = int16 round of (A - f64(hi)) on a global fixed-point scale —
+    # 6 B/point on the wire instead of 8 (Options.fetch_encoding).
+    key = (tuple(A_dev.shape), jnp.dtype(A_dev.dtype).name, bounds, split16)
     split_fn = _SLAB_SPLIT_CACHE.get(key)
     if split_fn is None:
-        split_fn = jax.jit(
-            lambda a: tuple(
-                a[i, bounds[k] : bounds[k + 1]] for (i, k) in tasks
-            )
-        )
+        if split16:
+
+            def _split(a):
+                hi = a.astype(jnp.float32)
+                corr = a - hi.astype(jnp.float64)
+                s = jnp.max(jnp.abs(corr))
+                scale = jnp.where(s > 0, 32767.0 / s, 0.0)
+                q = jnp.round(corr * scale).astype(jnp.int16)
+                return (
+                    s,
+                    tuple(hi[i, bounds[k] : bounds[k + 1]] for (i, k) in tasks),
+                    tuple(q[i, bounds[k] : bounds[k + 1]] for (i, k) in tasks),
+                )
+
+        else:
+
+            def _split(a):
+                return tuple(a[i, bounds[k] : bounds[k + 1]] for (i, k) in tasks)
+
+        split_fn = jax.jit(_split)
         _SLAB_SPLIT_CACHE.put(key, split_fn)
-    slabs = dict(zip(tasks, split_fn(A_dev)))
-    jax.block_until_ready(list(slabs.values()))
+    inv_scale = 0.0
+    try:
+        if split16:
+            s_dev, hi_slabs, q_slabs = split_fn(A_dev)
+            jax.block_until_ready((hi_slabs, q_slabs))
+            inv_scale = float(s_dev) / 32767.0
+            slabs = {(0,) + t: hi_slabs[n] for n, t in enumerate(tasks)}
+            slabs.update({(1,) + t: q_slabs[n] for n, t in enumerate(tasks)})
+            fetch_tasks = list(slabs.keys())
+        else:
+            slabs = dict(zip(tasks, split_fn(A_dev)))
+            jax.block_until_ready(list(slabs.values()))
+            fetch_tasks = tasks
+    except Exception as e:  # noqa: BLE001 — toolchain may lack int16
+        if not split16:
+            raise
+        _SPLIT16_BROKEN = True
+        warn(
+            f"{_SUB}: split16 fetch encoding unavailable "
+            f"({type(e).__name__}); falling back to raw float64 downloads"
+        )
+        return _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark, "f64")
     _mark("slab_split")
 
     done = np.zeros((3, per_comp), dtype=bool)
+    arrived = {}  # (i, k) -> first-arrived half, split16 only
     curled = np.zeros(per_comp, dtype=bool)
     lock = _th.Lock()
     curl_ex = _cf.ThreadPoolExecutor(max_workers=3)
@@ -555,21 +603,36 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark):
     def _curl_chunk(j):
         curl_np_into(host, dq, B, bounds[j], bounds[j + 1])
 
-    def _fetch(t):
-        i, k = t
-        host[i, bounds[k] : bounds[k + 1]] = np.asarray(slabs[t])
+    def _mark_done_locked(i, k):
+        done[i, k] = True
         newly = []
+        for j in range(max(0, k - 2), min(per_comp, k + 3)):
+            if not curled[j] and _ready(j):
+                curled[j] = True
+                newly.append(j)
+        return newly
+
+    def _fetch(t):
+        data = np.asarray(slabs[t])
+        if split16:
+            a, i, k = t
+            with lock:
+                other = arrived.pop((i, k), None)
+                if other is None:
+                    arrived[(i, k)] = data
+                    return
+            hi, q = (other, data) if a == 1 else (data, other)
+            host[i, bounds[k] : bounds[k + 1]] = hi + q * inv_scale
+        else:
+            i, k = t
+            host[i, bounds[k] : bounds[k + 1]] = data
         with lock:
-            done[i, k] = True
-            for j in range(max(0, k - 2), min(per_comp, k + 3)):
-                if not curled[j] and _ready(j):
-                    curled[j] = True
-                    newly.append(j)
+            newly = _mark_done_locked(i, k)
         for j in newly:
             curl_futs.append(curl_ex.submit(_curl_chunk, j))
 
-    with _cf.ThreadPoolExecutor(min(nstreams, len(tasks))) as _ex:
-        list(_ex.map(_fetch, tasks))
+    with _cf.ThreadPoolExecutor(min(nstreams, len(fetch_tasks))) as _ex:
+        list(_ex.map(_fetch, fetch_tasks))
     _mark("fetch")
     for f in curl_futs:
         f.result()
@@ -577,6 +640,11 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark):
     assert bool(curled.all()), "curl pipeline missed a chunk"
     _mark("curl")
     return host, B
+
+
+#: set True after the first failed split16 program (e.g. a toolchain
+#: without int16 lowering) — every later call falls back to raw f64.
+_SPLIT16_BROKEN = False
 
 
 def _add_flux_balance_fields(mesh_xyz, Lq, phi, B, A):

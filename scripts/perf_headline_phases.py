@@ -22,13 +22,16 @@ from ndsm_tpu.utils.testing import build_test_mesh, potential_field_case  # noqa
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 220
 f32 = "f32" in sys.argv[2:]
+enc = "split16" if "split16" in sys.argv[2:] else "f64"
 reps = int(os.environ.get("NDSM_PERF_REPS", "2"))
 
 x, y, z = build_test_mesh(n)
 Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
 A1, b1 = potential_field_case(X, Y, Z)
 opts = Options(
-    host_curl=True, output_dtype="float32" if f32 else "float64"
+    host_curl=True,
+    output_dtype="float32" if f32 else "float64",
+    fetch_encoding=enc,
 )
 
 t0 = time.perf_counter()
@@ -49,4 +52,5 @@ for r in range(reps):
         flush=True,
     )
     ea = float(np.linalg.norm(A1 - A, axis=0).max())
-    print(f"  Ea_max={ea:.5e}", flush=True)
+    eb = float(np.linalg.norm(b1 - B, axis=0).max())
+    print(f"  Ea_max={ea:.5e} Eb_max={eb:.5e}", flush=True)

@@ -75,8 +75,23 @@ q_digits() {
   step digits_diff_mean 60 python3 scripts/compare_golden.py logs/rows_mean.txt /root/reference/tests/integration_test/results_test2.txt
 }
 
+q_r4() {
+  # Round-4 items (VERDICT r3): pipelined-fetch headline decomposition,
+  # split16 golden validation, 220^3 width A/B, v2d on-chip, phase
+  # breakdown (restrict/prolong fusion call), single-shard overhead,
+  # 512^3 pass-rate table.
+  step headline_phases 2400 env NDSM_PERF_REPS=3 python3 scripts/perf_headline_phases.py 220
+  step headline_split16 2400 env NDSM_PERF_REPS=3 python3 scripts/perf_headline_phases.py 220 split16
+  step widths_220 5400 python3 scripts/perf_zc_ns.py solve 220 3 4
+  step v2d 2700 python3 scripts/perf_v2d.py
+  step phases_256 1800 python3 scripts/perf_phases.py --phases 256
+  step shard1 2700 python3 scripts/perf_shard1.py 256
+  step zc_pass_512 3000 python3 scripts/perf_zc_ns.py pass 512
+}
+
 case "$QUEUE" in
   headline) probe; q_headline ;;
+  r4)       probe; q_r4; q_headline ;;
   perf)     probe; q_perf ;;
   widths)   probe; q_widths ;;
   r8)       probe; q_widths; q_headline

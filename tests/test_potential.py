@@ -171,6 +171,43 @@ def test_fetch_and_curl_pipelined_matches_serial():
         assert np.array_equal(got_B, want_B)
 
 
+def test_fetch_split16_encoding_accuracy():
+    """Options.fetch_encoding='split16' (f32 + int16 fixed-point
+    correction, 6 B/point on the wire) reconstructs A within
+    max|A - f32(A)| / 32767 — for O(1) fields ~2e-13, five orders below
+    truncation error — and B = curl within that bound / h."""
+    import jax.numpy as jnp
+
+    from ndsm_tpu.ops.deriv import curl_np
+    from ndsm_tpu.potential.vector_potential import _fetch_and_curl_pipelined
+
+    rng = np.random.default_rng(5)
+    dq = (0.05, 0.04, 0.03)
+    A = rng.standard_normal((3, 24, 10, 12))
+    A_dev = jnp.asarray(A)
+    want_A = np.asarray(A_dev)
+    want_B = curl_np(want_A, dq)
+    got_A, got_B = _fetch_and_curl_pipelined(
+        A_dev, dq, "float64", lambda *a, **k: None, encoding="split16"
+    )
+    corr_max = np.abs(want_A - want_A.astype(np.float32).astype(np.float64)).max()
+    bound = corr_max / 32767 * 1.0001 + 1e-300
+    assert np.abs(got_A - want_A).max() <= bound
+    assert np.abs(got_B - want_B).max() <= 3 * bound / min(dq)
+    # exact-f32 input: correction is all-zero, reconstruction is exact
+    A32 = jnp.asarray(A.astype(np.float32).astype(np.float64))
+    got_A, got_B = _fetch_and_curl_pipelined(
+        A32, dq, "float64", lambda *a, **k: None, encoding="split16"
+    )
+    assert np.array_equal(got_A, np.asarray(A32))
+    # float32 outputs ignore the encoding (already 4 B/point)
+    got_A, _ = _fetch_and_curl_pipelined(
+        A_dev.astype(jnp.float32), dq, "float32", lambda *a, **k: None,
+        encoding="split16",
+    )
+    assert got_A.dtype == np.float32
+
+
 def test_host_curl_pipeline_identical():
     """vector_potential with Options.host_curl=True returns the default
     path's (A, B): A bitwise (identical device computation), B at the
