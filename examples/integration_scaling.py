@@ -42,6 +42,14 @@ def main():
         help="also write the table to FILE in the reference's results_test "
         "format (tests/integration_test/results_test1.txt)",
     )
+    ap.add_argument(
+        "--fast",
+        action="store_true",
+        help="production transfer path: host-side curl + split16 wire "
+        "format (golden digits verified unchanged — "
+        "logs/headline_split16_r4.log); timings then reflect the "
+        "shipped configuration instead of raw float64 downloads",
+    )
     args = ap.parse_args()
 
     base = np.array([22, 22, 22])
@@ -59,13 +67,24 @@ def main():
         Z, Y, X = np.meshgrid(z, y, x, indexing="ij")
         A1, b1 = potential_field_case(X, Y, Z)
 
+        kw = {}
+        if args.fast:
+            from ndsm_tpu import Options
+
+            kw["options"] = Options(
+                mean=args.mean,
+                precision=args.precision,
+                host_curl=True,
+                fetch_encoding="split16",
+            )
         if args.warm:
             vector_potential(
-                x, y, z, b1.copy(), mean=args.mean, precision=args.precision
+                x, y, z, b1.copy(), mean=args.mean, precision=args.precision,
+                **kw,
             )
         t1 = time.time()
         ierr, A2, b2 = vector_potential(
-            x, y, z, b1.copy(), mean=args.mean, precision=args.precision
+            x, y, z, b1.copy(), mean=args.mean, precision=args.precision, **kw
         )
         dt = time.time() - t1
 
