@@ -98,3 +98,29 @@ def test_solve_batch_wall_honesty():
     assert len(infos) == 2
     assert infos[0].batch_size == infos[1].batch_size == 2
     assert infos[0].wall_time == infos[1].wall_time > 0.0
+
+
+def test_vector_potential_phase_timings():
+    """info.phases decomposes the pipeline wall (the reference has one
+    whole-solve timer, ROPT_TIM; this is its per-phase refinement).
+    Keys cover both the device-curl and host-curl paths; the phase sum
+    accounts for (almost) the whole wall."""
+    n = 12
+    x = np.linspace(0, 1, n)
+    b = np.zeros((3, n, n, n))
+    b[2, 0] = 1.0
+    b[2, -1] = 1.0
+    for opts, extra in [
+        (Options(precision="fp64"), set()),
+        (
+            Options(precision="fp64", host_curl=True),
+            {"slab_split", "fetch", "curl"},
+        ),
+    ]:
+        ierr, A, B, info = vector_potential(
+            x, x, x, b, options=opts, full_output=True
+        )
+        assert set(info.phases) >= {"faces", "chi", "solve3d", "post"} | extra
+        acc = sum(info.phases.values())
+        assert 0.0 < acc <= info.wall_time * 1.001
+        assert acc >= 0.5 * info.wall_time  # phases dominate the wall
