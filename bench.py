@@ -371,6 +371,9 @@ def main():
         "precision": precision,
         "host_curl": host_curl,
         "fetch_encoding": encoding,
+        "phases": {
+            k: round(v, 3) for k, v in (info.phases or {}).items()
+        } if info is not None else {},
         "ref_time_extrapolated": ref_extrapolated,
     }
     out.update(f32_fields)
