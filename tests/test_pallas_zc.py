@@ -123,8 +123,10 @@ def test_pick_tiles_zc_scoped_stack_model():
     # Calibrated auto widths under the scoped gate.  At 220^3-padded the
     # gate rejects width 4's big-window pick; the surviving width-4 pick
     # has tile fraction 0.386 < the 0.4 crossover, so auto drops to 3
-    # (width-3 frac 0.486).  On-chip width-3-vs-4 A/B queued in the
-    # round-4 runbook (scripts/perf_zc_ns.py solve 220 3 4).
+    # (width-3 frac 0.486).  Confirmed by the round-4 on-chip A/B
+    # (logs/widths_220_r4.log): width 3 beats the pinned width 4 in
+    # every configuration — default 112.4 vs 126.0 ms, strict 132.9 vs
+    # 142.0, batched 274.3 vs 287.3 (identical cycles/du).
     assert zc.auto_pass_width((256, 256, 256), 8) == 4
     assert zc.auto_pass_width((512, 512, 512), 8) == 2
     assert zc.auto_pass_width((220, 224, 256), 8) == 3
