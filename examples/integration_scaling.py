@@ -50,6 +50,13 @@ def main():
         "logs/headline_split16_r4.log); timings then reflect the "
         "shipped configuration instead of raw float64 downloads",
     )
+    ap.add_argument(
+        "--strict",
+        action="store_true",
+        help="mixed_inner_max=1: the reference's exact iterate sequence "
+        "(the default defect groups move exactly one 18-table entry by "
+        "one final digit — RESULTS.md)",
+    )
     args = ap.parse_args()
 
     base = np.array([22, 22, 22])
@@ -68,14 +75,15 @@ def main():
         A1, b1 = potential_field_case(X, Y, Z)
 
         kw = {}
-        if args.fast:
+        if args.fast or args.strict:
             from ndsm_tpu import Options
 
             kw["options"] = Options(
                 mean=args.mean,
                 precision=args.precision,
-                host_curl=True,
-                fetch_encoding="split16",
+                host_curl=args.fast,
+                fetch_encoding="split16" if args.fast else "f64",
+                mixed_inner_max=1 if args.strict else 6,
             )
         if args.warm:
             vector_potential(
