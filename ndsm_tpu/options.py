@@ -61,8 +61,10 @@ class Options:
         relative to host memory bandwidth (e.g. tunneled runtimes);
         counterproductive on a local PCIe host, hence default off.
         Honored only for flux_correction_order=0 (the default, where B
-        is a pure function of the returned A), float64 outputs, and
-        non-distributed runs; otherwise the device path is used.
+        is a pure function of the returned A) and non-distributed runs;
+        otherwise the device path is used.  Works for both output
+        dtypes (float32 downloads are differenced in float64 on the
+        host, exactly like the device path's f64-then-cast).
       per_face: solve the 3D BVPs one face at a time and sum (the
         reference's IOPT_FACE1 path is dead code due to a constant SELECT
         CASE — quirk Q1 in SURVEY.md; here the flag actually works).
