@@ -517,9 +517,25 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark, encoding="f64"):
 
     nstreams = max(1, int(os.environ.get("NDSM_TPU_FETCH_STREAMS", "6")))
     nz0 = int(A_dev.shape[1])
+    total_mb = (
+        float(np.prod(tuple(A_dev.shape)))
+        * jnp.dtype(A_dev.dtype).itemsize
+        / 1e6
+    )
     # >= 3 rows per chunk (the one-sided z stencils at the global faces
-    # span 3 rows, and curl chunk k reads only chunks k-1..k+1).
-    per_comp = max(1, min(max(-(-nstreams // 3), 8), nz0 // 3))
+    # span 3 rows, and curl chunk k reads only chunks k-1..k+1); chunk
+    # count scales with the transfer size — every fetch task costs a
+    # device round-trip (~5-30 ms on tunneled runtimes), so small
+    # results take few big chunks (at 22^3 the fixed task overhead made
+    # the --fast path SLOWER than the plain one; round-4 scaling run).
+    per_comp = max(
+        1,
+        min(
+            max(-(-nstreams // 3), 8),
+            nz0 // 3,
+            max(1, int(total_mb / 8.0)),
+        ),
+    )
     bounds = tuple(
         (k * nz0) // per_comp for k in range(per_comp)
     ) + (nz0,)
@@ -531,9 +547,13 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark, encoding="f64"):
     ]
     host = np.empty(tuple(A_dev.shape), dtype=out_dtype)
     B = np.empty(tuple(A_dev.shape), dtype=out_dtype)
+    # The encode program adds fixed dispatch cost; below the threshold
+    # the raw download is faster (NDSM_TPU_SPLIT16_MIN_MB, default 16;
+    # tests set 0 to exercise the encoding on small arrays).
+    min_mb = float(os.environ.get("NDSM_TPU_SPLIT16_MIN_MB", "16"))
     split16 = (
         encoding == "split16" and jnp.dtype(out_dtype) == jnp.float64
-        and not _SPLIT16_BROKEN
+        and not _SPLIT16_BROKEN and total_mb >= min_mb
     )
     # ONE jitted program produces every slab: per-slab __getitem__ would
     # compile a separate XLA program per (component, range) — ~24 remote

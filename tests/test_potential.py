@@ -187,6 +187,7 @@ def test_fetch_split16_encoding_accuracy():
     A_dev = jnp.asarray(A)
     want_A = np.asarray(A_dev)
     want_B = curl_np(want_A, dq)
+    os.environ["NDSM_TPU_SPLIT16_MIN_MB"] = "0"  # size gate off: tiny arrays
     got_A, got_B = _fetch_and_curl_pipelined(
         A_dev, dq, "float64", lambda *a, **k: None, encoding="split16"
     )
@@ -206,6 +207,12 @@ def test_fetch_split16_encoding_accuracy():
         encoding="split16",
     )
     assert got_A.dtype == np.float32
+    del os.environ["NDSM_TPU_SPLIT16_MIN_MB"]
+    # default size gate: tiny arrays silently take the raw f64 path
+    got_A, _ = _fetch_and_curl_pipelined(
+        A_dev, dq, "float64", lambda *a, **k: None, encoding="split16"
+    )
+    assert np.array_equal(got_A, want_A)  # bit-exact => raw path
 
 
 def test_fetch_split16_fallback_on_broken_toolchain(monkeypatch, capfd):
@@ -233,6 +240,7 @@ def test_fetch_split16_fallback_on_broken_toolchain(monkeypatch, capfd):
     def _raise(_a):
         raise RuntimeError("no int16 on this toolchain")
 
+    monkeypatch.setenv("NDSM_TPU_SPLIT16_MIN_MB", "0")
     monkeypatch.setattr(vp, "_SLAB_SPLIT_CACHE", _Boom())
     monkeypatch.setattr(vp, "_SPLIT16_BROKEN", False)
     got_A, got_B = vp._fetch_and_curl_pipelined(
