@@ -627,8 +627,18 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark, encoding="f64"):
         ks = range(max(0, j - 1), min(per_comp, j + 2))
         return all(done[i, k] for i in range(3) for k in ks)
 
-    def _curl_chunk(j):
-        curl_np_into(host, dq, B, bounds[j], bounds[j + 1])
+    def _submit_curl(j):
+        # two half-chunk tasks: the post-fetch serial tail is then one
+        # HALF-chunk of differencing (512^3 round 4: the last chunk's
+        # ~3 s curl was most of the 8.5 s tail).  Both halves stay
+        # inside the ready neighborhood (rows bounds[j]-1..bounds[j+1]).
+        z0, z1 = bounds[j], bounds[j + 1]
+        zm = (z0 + z1) // 2
+        for a, b in ((z0, zm), (zm, z1)):
+            if b > a:
+                curl_futs.append(
+                    curl_ex.submit(curl_np_into, host, dq, B, a, b)
+                )
 
     def _mark_done_locked(i, k):
         done[i, k] = True
@@ -656,7 +666,7 @@ def _fetch_and_curl_pipelined(A_dev, dq, out_dtype, _mark, encoding="f64"):
         with lock:
             newly = _mark_done_locked(i, k)
         for j in newly:
-            curl_futs.append(curl_ex.submit(_curl_chunk, j))
+            _submit_curl(j)
 
     with _cf.ThreadPoolExecutor(min(nstreams, len(fetch_tasks))) as _ex:
         list(_ex.map(_fetch, fetch_tasks))
