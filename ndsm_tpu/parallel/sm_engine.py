@@ -260,6 +260,57 @@ class ShardStencilKernels:
             return jnp.zeros(shape, jnp.float32)
         return jnp.where(interior, jnp.float32(0.0), jnp.float32(2.0))
 
+    def _c_ext_cached(self, shape, level, H_map):
+        """Halo-extended mask-code block, served from the per-solve
+        trace cache when one is active (``_prime_c_codes``).  The codes
+        are solve-invariant; computing them inside the cycle
+        ``while_loop`` body re-runs the iota/where/concat chain every
+        cycle at this chip's ~10%-of-HBM elementwise rate — measured
+        half of the sharded engine's 1.27x single-shard overhead
+        (PERF_NOTES driver round 4).  Values primed OUTSIDE the loop
+        are closure constants and get hoisted by XLA."""
+        key = (tuple(shape), level, tuple(sorted(H_map.items())))
+        cache = self._c_trace_cache
+        if cache is not None and key in cache:
+            return cache[key]
+        val = self._extend_block(
+            self._zc_mask_code(shape, level), level, H_map
+        )
+        if cache is not None:
+            cache[key] = val
+        return val
+
+    def _prime_c_codes(self):
+        """Open a per-solve trace cache and precompute every extended
+        mask-code variant the kernel smooth paths request (per sharded
+        level: the main pass width, the remainder width, and the
+        residual-fused final width).  Call at the top of each
+        ``_local_solve*`` entry, and clear (``_c_trace_cache = None``)
+        before returning so no tracer outlives its trace."""
+        self._c_trace_cache = {}
+        if self.use_pallas not in ("on", "interpret") or self.h.ndim != 3:
+            return
+        if stencils.is_all_neumann(self.bcs):
+            return
+        from ..mg.engine import _pallas_nsweeps
+        from ..ops import pallas_zc
+
+        ms = max(1, int(self.options.ms))
+        ns_star = min(ms, _pallas_nsweeps())
+        rem = ms % ns_star
+        last = rem if rem else ns_star
+        for level in range(self.seam):
+            shape = self._local_shape(level)
+            for n in {ns_star, rem} - {0}:
+                if self._zc_sharded_fn(level, n) is not None:
+                    self._c_ext_cached(shape, level, self._H_map(n))
+            if self._zc_sharded_res_fn(level, last) is not None:
+                H_z, H_y = pallas_zc._halos(last, True)
+                H = {0: H_z}
+                if len(self.names) > 1:
+                    H[1] = H_y
+                self._c_ext_cached(shape, level, H)
+
     # -- masked sweep / residual ---------------------------------------
 
     def _sharded_half(self, u, rhs, level, parity, w, w0, interior):
@@ -430,6 +481,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
 
         self.use_pallas = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
         self._zc_fns: dict = {}
+        self._c_trace_cache = None  # per-solve mask-code cache (_prime_c_codes)
         self.ndev0 = self.ndev[self.names[0]]
         # Legacy single-axis attributes used by tests/introspection
         self.axis_name = self.names[0]
@@ -655,8 +707,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
         kernel pass, falling back to the XLA sharded path only when
         that width is unsupported."""
         H_map = self._H_map(ns_star)
-        C_loc = self._zc_mask_code(u.shape, level)
-        C = self._extend_block(C_loc, level, H_map)
+        C = self._c_ext_cached(u.shape, level, H_map)
         rhs_ext = self._extend_block(rhs, level, H_map)
         q, rem = divmod(n, ns_star)
         for _ in range(q):
@@ -668,7 +719,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 u = fr(
                     self._extend_block(u, level, Hr),
                     self._extend_block(rhs, level, Hr),
-                    self._extend_block(C_loc, level, Hr),
+                    self._c_ext_cached(u.shape, level, Hr),
                 )
             else:
                 body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
@@ -744,9 +795,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 u, r = fr(
                     self._extend_block(u, level, H),
                     self._extend_block(rhs, level, H),
-                    self._extend_block(
-                        self._zc_mask_code(u.shape, level), level, H
-                    ),
+                    self._c_ext_cached(u.shape, level, H),
                 )
                 return u, r
         ul = self._smooth(u, rhs, level, n)
@@ -1048,6 +1097,15 @@ class ShardedPoissonBVP(ShardStencilKernels):
         carried as an f32 pair per shard; ``rhs`` may be None (zero-rhs
         kernel variant).  The rhs pair and the Dirichlet mask code are
         extended once here (loop-invariant)."""
+        try:
+            self._prime_c_codes()
+            return self._local_solve_df_impl(
+                u0, rhs, vc_tol, ex_tol, nmax, nmax_exact
+            )
+        finally:
+            self._c_trace_cache = None
+
+    def _local_solve_df_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         from ..ops.pallas_df import df_add, df_decompose, df_reconstruct
 
         H_map = self._df_H_map
@@ -1117,6 +1175,15 @@ class ShardedPoissonBVP(ShardStencilKernels):
     def _local_solve(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         if self._df:
             return self._local_solve_df(u0, rhs, vc_tol, ex_tol, nmax, nmax_exact)
+        try:
+            self._prime_c_codes()
+            return self._local_solve_impl(
+                u0, rhs, vc_tol, ex_tol, nmax, nmax_exact
+            )
+        finally:
+            self._c_trace_cache = None
+
+    def _local_solve_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         vc_tol = vc_tol.astype(self.dtype)
         big = jnp.asarray(jnp.finfo(self.dtype).max, self.dtype)
         mixed = self.mode == "mixed"
@@ -1155,6 +1222,15 @@ class ShardedPoissonBVP(ShardStencilKernels):
         solve (converged lanes freeze).  Mixed groups vmap the f64
         defect path (the per-shard df kernel is not vmapped — chi-style
         batches are 2D/all-Neumann where df never applies)."""
+        try:
+            self._prime_c_codes()
+            return self._local_solve_batch_impl(
+                u0, rhs, vc_tol, ex_tol, nmax, nmax_exact
+            )
+        finally:
+            self._c_trace_cache = None
+
+    def _local_solve_batch_impl(self, u0, rhs, vc_tol, ex_tol, nmax, nmax_exact):
         mixed = self.mode == "mixed"
         inner_max = (
             max(1, int(getattr(self.options, "mixed_inner_max", 6)))
