@@ -110,11 +110,27 @@ def main(n):
 
     def prog_smooth(k):
         def local(a, b):
+            # production entry points prime the mask-code cache before
+            # their cycle loops; mirror that here (hoisted constants)
+            eng._prime_c_codes()
+            try:
+                return lax.fori_loop(
+                    0, k, lambda _, v: eng._smooth(v, b, 0, 5), a
+                )
+            finally:
+                eng._c_trace_cache = None
+
+        return smwrap(local)(u, r)
+
+    kdiff("sharded smooth ms=5 (primed C)", prog_smooth)
+
+    def prog_smooth_unprimed(k):
+        def local(a, b):
             return lax.fori_loop(0, k, lambda _, v: eng._smooth(v, b, 0, 5), a)
 
         return smwrap(local)(u, r)
 
-    kdiff("sharded smooth ms=5", prog_smooth)
+    kdiff("sharded smooth ms=5 (in-loop C)", prog_smooth_unprimed)
 
     def prog_dense(k):
         return lax.fori_loop(0, k, lambda _, v: dense.t_smooth(v, r, 0), u)
