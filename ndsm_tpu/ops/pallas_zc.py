@@ -929,7 +929,7 @@ def _zc_sharded_kernel(
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     H_z: int, H_y: int, ext_y: bool,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
-    residual: bool = False,
+    residual: bool = False, ext_out: bool = False,
 ):
     # Ref layout: inputs (u, rhs, C), outputs (out[, res]),
     # scratch (bufU, bufR, bufC, work arrays, sems).
@@ -979,16 +979,30 @@ def _zc_sharded_kernel(
         oz = i32(H_z)
         oy = pl.multiple_of((y0 + (i32(H_y) if ext_y else i32(0))) - sy, 8)
         src = (slot, pl.ds(oz, tz), pl.ds(oy, ty), slice(None))
-        dst = (pl.ds(z0, tz), pl.ds(y0, ty), slice(None))
+        # ext_out: the u output array has the EXTENDED layout (halo
+        # slots left untouched — the engine refreshes only edge planes
+        # between passes instead of re-concatenating the whole block)
+        uz0 = z0 + (i32(H_z) if ext_out else i32(0))
+        uy0 = pl.multiple_of(
+            y0 + (i32(H_y) if (ext_out and ext_y) else i32(0)), 8
+        )
         dmas = [
-            pltpu.make_async_copy(bufU.at[src], out_ref.at[dst], out_sems.at[slot, i32(0)]),
+            pltpu.make_async_copy(
+                bufU.at[src],
+                out_ref.at[(pl.ds(uz0, tz), pl.ds(uy0, ty), slice(None))],
+                out_sems.at[slot, i32(0)],
+            ),
         ]
         if residual:
             # the rhs window buffer carries the interleaved residual
-            # once the sweeps have consumed it (the dense kernel's trick)
+            # once the sweeps have consumed it (the dense kernel's
+            # trick); the residual output stays LOCAL-layout (it feeds
+            # the restriction)
             dmas.append(
                 pltpu.make_async_copy(
-                    bufR.at[src], res_ref.at[dst], out_sems.at[slot, i32(1)]
+                    bufR.at[src],
+                    res_ref.at[(pl.ds(z0, tz), pl.ds(y0, ty), slice(None))],
+                    out_sems.at[slot, i32(1)],
                 )
             )
         return dmas
@@ -1129,6 +1143,7 @@ def zc_smooth_sharded_3d(
     interpret: bool = False,
     vma=None,
     residual: bool = False,
+    ext_out: bool = False,
 ):
     """Build the per-shard smoother, or None if unsupported.  Returns
     call(ext_u, ext_rhs, ext_C) -> u over the REAL local block, where
@@ -1144,7 +1159,15 @@ def zc_smooth_sharded_3d(
     ``residual``: call(ext_u, ext_rhs, ext_C) -> (u, r) additionally
     emits the residual of the swept state over the real block (the
     V-cycle descent's smooth+residual in one pass; inputs need the
-    deeper 2*nsweeps+1 halo — see _halos)."""
+    deeper 2*nsweeps+1 halo — see _halos).
+
+    ``ext_out``: the u output uses the EXTENDED layout (real block
+    written at halo offsets, halo slots untouched/garbage), so the
+    engine can carry the extended state across passes and refresh only
+    edge planes instead of re-concatenating the whole block per pass
+    (the measured per-pass cost of the halo-extended formulation on a
+    1-device mesh — PERF_NOTES driver round 4).  The residual output
+    (when requested) stays local-layout."""
     local_shape = tuple(int(s) for s in local_shape)
     if not zc_sharded_supported(
         local_shape, dtype, nsweeps, ext_y, interpret=interpret,
@@ -1166,7 +1189,7 @@ def zc_smooth_sharded_3d(
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y, ext_y=ext_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=int(p0),
-        residual=residual,
+        residual=residual, ext_out=ext_out,
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
@@ -1178,7 +1201,10 @@ def zc_smooth_sharded_3d(
             return jax.ShapeDtypeStruct(shape, jnp.float32)
         return jax.ShapeDtypeStruct(shape, jnp.float32, vma=vset)
 
-    out_shape = [sds(local_shape)]
+    ext_shape = (
+        nz + 2 * H_z, ny + (2 * H_y if ext_y else 0), nx
+    )
+    out_shape = [sds(ext_shape if ext_out else local_shape)]
     if residual:
         out_shape.append(sds(local_shape))
     call = pl.pallas_call(

@@ -423,3 +423,40 @@ def test_sharded_zc_smoother_interpret(monkeypatch, axes):
     np.testing.assert_allclose(
         np.asarray(u_p), np.asarray(u_x), rtol=0, atol=5e-5
     )
+
+
+@pytest.mark.parametrize("ext_y", [False, True])
+@pytest.mark.parametrize("residual", [False, True])
+def test_zc_sharded_ext_out_bitwise(ext_y, residual):
+    """ext_out variant: the u output's REAL region is BITWISE equal to
+    the local-layout kernel on identical extended inputs (same windows,
+    same sweeps — only the out-DMA destination offsets change); the
+    residual output stays local-layout and identical."""
+    local = (16, 16, 32)
+    ns = 2
+    H_z, H_y = zc._halos(ns, residual)
+    ez = local[0] + 2 * H_z
+    ey = local[1] + (2 * H_y if ext_y else 0)
+    rng = np.random.default_rng(13)
+    dq = np.array([0.9, 1.1, 1.3])
+    eu = jnp.asarray(rng.standard_normal((ez, ey, local[2])), jnp.float32)
+    er = jnp.asarray(rng.standard_normal((ez, ey, local[2])), jnp.float32)
+    ec = jnp.asarray(
+        2.0 * rng.integers(0, 2, (ez, ey, local[2])), jnp.float32
+    )
+    kw = dict(ext_y=ext_y, interpret=True, residual=residual)
+    f0 = zc.zc_smooth_sharded_3d(dq, local, ns, 0, **kw)
+    f1 = zc.zc_smooth_sharded_3d(dq, local, ns, 0, ext_out=True, **kw)
+    assert f0 is not None and f1 is not None
+    o0 = f0(eu, er, ec)
+    o1 = f1(eu, er, ec)
+    if residual:
+        (u0, r0), (u1, r1) = o0, o1
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r0))
+    else:
+        u0, u1 = o0, o1
+    assert u1.shape == (ez, ey, local[2])
+    sly = slice(H_y, H_y + local[1]) if ext_y else slice(None)
+    np.testing.assert_array_equal(
+        np.asarray(u1)[H_z : H_z + local[0], sly], np.asarray(u0)
+    )
