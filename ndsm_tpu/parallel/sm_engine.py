@@ -37,6 +37,7 @@ V-cycles inside the f64 defect-correction loop).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -251,6 +252,45 @@ class ShardStencilKernels:
             if H:
                 sl[ax] = slice(H, v.shape[ax] - H)
         return v[tuple(sl)]
+
+    def _refresh_ext(self, v, level, H_map):
+        """Refresh the halo planes of an EXTENDED-layout block in place
+        (dynamic updates) — value-identical to
+        ``_extend_block(_unextend_block(v), level, H_map)`` without
+        re-concatenating the core (the ext_out kernel variant leaves the
+        core already in place; only edge planes need the exchange).
+        Axes process in ``self.parts`` order exactly like _extend_block,
+        so corner regions resolve to the same diagonal-neighbor values:
+        each later axis overwrites its full halo slabs (including the
+        earlier axes' halo rows) with planes whose earlier-axis halos
+        were refreshed in the earlier stage."""
+        for ax, nm in self.parts:
+            H = H_map.get(ax, 0)
+            if H == 0:
+                continue
+            n = v.shape[ax]
+            nd = self.ndev[nm]
+            lo_edge = lax.slice_in_dim(v, H, 2 * H, axis=ax)
+            hi_edge = lax.slice_in_dim(v, n - 2 * H, n - H, axis=ax)
+            from_prev = lax.ppermute(
+                hi_edge, nm, [(j, j + 1) for j in range(nd - 1)]
+            )
+            from_next = lax.ppermute(
+                lo_edge, nm, [(j + 1, j) for j in range(nd - 1)]
+            )
+            mirror_lo = jnp.flip(
+                lax.slice_in_dim(v, H + 1, 2 * H + 1, axis=ax), axis=ax
+            )
+            mirror_hi = jnp.flip(
+                lax.slice_in_dim(v, n - 2 * H - 1, n - H - 1, axis=ax),
+                axis=ax,
+            )
+            idx = lax.axis_index(nm)
+            lo = jnp.where(idx == 0, mirror_lo, from_prev)
+            hi = jnp.where(idx == nd - 1, mirror_hi, from_next)
+            v = lax.dynamic_update_slice_in_dim(v, lo, 0, axis=ax)
+            v = lax.dynamic_update_slice_in_dim(v, hi, n - H, axis=ax)
+        return v
 
     def _zc_mask_code(self, shape, level):
         """Local mask-code block for the sharded zc kernel: 2.0 on
@@ -654,12 +694,15 @@ class ShardedPoissonBVP(ShardStencilKernels):
     def _dq_of(self, level: int):
         return self._dq[level]
 
-    def _zc_sharded_fn(self, level: int, n: int):
+    def _zc_sharded_fn(self, level: int, n: int, ext_out: bool = False):
         """Per-shard z-compact Pallas smoother (ops/pallas_zc.py sharded
-        variant) for (level, n sweeps per pass), or None."""
+        variant) for (level, n sweeps per pass), or None.  ``ext_out``
+        builds the extended-layout-output variant (the engine then
+        refreshes only edge planes between passes instead of
+        re-concatenating the whole block)."""
         from ..mg.engine import _pallas_min_points
 
-        key = (level, n)
+        key = (level, n, ext_out)
         if key in self._zc_fns:
             return self._zc_fns[key]
         fn = None
@@ -687,6 +730,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
                     ext_y=len(self.names) > 1,
                     interpret=(self.use_pallas == "interpret"),
                     vma={nm for _, nm in self.parts},
+                    ext_out=ext_out,
                 )
         self._zc_fns[key] = fn
         return fn
@@ -710,8 +754,26 @@ class ShardedPoissonBVP(ShardStencilKernels):
         C = self._c_ext_cached(u.shape, level, H_map)
         rhs_ext = self._extend_block(rhs, level, H_map)
         q, rem = divmod(n, ns_star)
-        for _ in range(q):
-            u = fz(self._extend_block(u, level, H_map), rhs_ext, C)
+        fze = (
+            self._zc_sharded_fn(level, ns_star, ext_out=True)
+            if q > 1
+            and os.environ.get("NDSM_TPU_ZC_EXT_OUT", "1") != "0"
+            else None
+        )
+        if fze is not None:
+            # carry the EXTENDED state across passes: the kernel writes
+            # the real block into its halo offsets, and only the edge
+            # planes are refreshed between passes (one full-block
+            # concat replaced by edge-plane dynamic updates per pass)
+            v = self._extend_block(u, level, H_map)
+            for p in range(q):
+                if p:
+                    v = self._refresh_ext(v, level, H_map)
+                v = fze(v, rhs_ext, C)
+            u = self._unextend_block(v, H_map)
+        else:
+            for _ in range(q):
+                u = fz(self._extend_block(u, level, H_map), rhs_ext, C)
         if rem:
             fr = self._zc_sharded_fn(level, rem)
             if fr is not None:

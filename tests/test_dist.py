@@ -471,3 +471,95 @@ def test_mask_code_trace_cache_scoped():
     u2, i2 = sbvp.solve(np.zeros_like(rhs), rhs)
     assert i1.cycles == i2.cycles
     assert np.array_equal(np.asarray(u1), np.asarray(u2))
+
+
+def test_refresh_ext_equals_reextend():
+    """_refresh_ext (edge-plane dynamic updates on the extended layout)
+    is VALUE-IDENTICAL to crop + _extend_block, on 1-axis and 2-axis
+    meshes (corners resolve to the same diagonal-neighbor planes)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh, make_mesh_nd
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(8)
+    full = rng.standard_normal((n, n, n)).astype(np.float32)
+    for axes in (1, 2):
+        if axes == 1:
+            mesh, names, spec = make_mesh(4), ("z",), P("z")
+        else:
+            mesh, names, spec = (
+                make_mesh_nd((2, 2), ("z", "y")), ("z", "y"), P("z", "y")
+            )
+        eng = ShardedPoissonBVP(
+            h, bcs, Options(precision="fp32"), mesh=mesh,
+            axis_names=names, min_rows_per_shard=2,
+        )
+        H_map = eng._H_map(2)
+
+        def local(v):
+            ext = eng._extend_block(v, 0, H_map)
+            # scramble everything (halos included), then refresh: the
+            # halo planes must equal a fresh re-extend of the core
+            scr = ext * jnp.float32(1.5) + jnp.float32(0.25)
+            core = eng._unextend_block(scr, H_map)
+            want = eng._extend_block(core, 0, H_map)
+            got = eng._refresh_ext(scr, 0, H_map)
+            return got, want
+
+        sm = shard_map(
+            local, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec)
+        )
+        got, want = jax.jit(sm)(jnp.asarray(full))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_ext_out_smooth_end_to_end(monkeypatch):
+    """ms=5 (q=2 main passes) exercises the extended-output pass chain:
+    interpret-mode kernel solve matches the XLA sharded path, and the
+    NDSM_TPU_ZC_EXT_OUT=0 fallback produces identical iterates."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x), ngrids=2)
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rng = np.random.default_rng(6)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    opts = Options(precision="fp32", vc_tol=1e-5, ncycles_max=12, ms=5)
+    mesh = make_mesh(4)
+
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    sp = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
+    assert sp._zc_sharded_fn(0, 2, ext_out=True) is not None
+    u_e, info_e = sp.solve(u0, rhs)
+
+    monkeypatch.setenv("NDSM_TPU_ZC_EXT_OUT", "0")
+    sl = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
+    u_l, info_l = sl.solve(u0, rhs)
+    assert info_e.cycles == info_l.cycles
+    np.testing.assert_array_equal(np.asarray(u_e), np.asarray(u_l))
+    monkeypatch.delenv("NDSM_TPU_ZC_EXT_OUT")
+
+    monkeypatch.delenv("NDSM_TPU_PALLAS")
+    monkeypatch.delenv("NDSM_TPU_PALLAS_MIN_POINTS")
+    sx = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
+    u_x, info_x = sx.solve(u0, rhs)
+    assert info_e.cycles == info_x.cycles
+    np.testing.assert_allclose(
+        np.asarray(u_e), np.asarray(u_x), rtol=0, atol=5e-5
+    )
