@@ -26,6 +26,10 @@ clean:
 # red suite or a broken graft entry.  Run before the final commit of a
 # session; exits nonzero on any failure.
 snapshot-check: test
-	$(PY_CPU) -c "import __graft_entry__ as g; fn, args = g.entry(); fn(*args); g.dryrun_multichip(8); print('graft entry OK')"
+	env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+	  XLA_FLAGS=--xla_force_host_platform_device_count=8 python3 -c \
+	  "import __graft_entry__ as g; g.dryrun_multichip(8); \
+	  fn, args = g.entry(); import jax; jax.block_until_ready(fn(*args)); \
+	  print('graft entry OK')"
 	@git status --porcelain || true
 	@echo "snapshot-check PASSED"
