@@ -357,3 +357,22 @@ def test_flux_correction_orders_agree():
     )
     np.testing.assert_allclose(A0, A1, atol=1e-9)
     assert np.abs(B0 - B1).max() < 2e-2
+
+
+def test_fetch_unknown_encoding_is_raw():
+    """Any fetch_encoding other than 'split16' takes the raw bit-exact
+    download path (forward-compatible: unknown names never corrupt
+    results)."""
+    import jax.numpy as jnp
+
+    from ndsm_tpu.potential.vector_potential import _fetch_and_curl_pipelined
+
+    rng = np.random.default_rng(21)
+    A = rng.standard_normal((3, 12, 8, 10))
+    A_dev = jnp.asarray(A)
+    for enc in ("f64", "auto", "zstd", ""):
+        got_A, _ = _fetch_and_curl_pipelined(
+            A_dev, (0.1, 0.1, 0.1), "float64", lambda *a, **k: None,
+            encoding=enc,
+        )
+        assert np.array_equal(got_A, np.asarray(A_dev))
