@@ -86,16 +86,18 @@ def config2_nd():
         if all(b == ("N", "N") for b in bcs):
             rhs -= rhs.mean()  # compatibility for the pure-Neumann case
         rhs_dev = jax.block_until_ready(jnp.asarray(rhs))
-        for mean in (False, True):
-            bvp = PoissonBVP(h, bcs, Options(precision="fp64", mean=mean))
-            u0 = jnp.zeros(shape)
-            (res, info), dt = _timed(lambda: bvp.solve(u0, rhs_dev))
-            print(
-                f"config2 {name:18s} [{'mean' if mean else 'max '}]: "
-                f"{dt*1e3:8.2f} ms  cycles={info.cycles} "
-                f"du={info.du_last:.2e} ierr={info.ierr}",
-                flush=True,
-            )
+        for prec in ("fp64", "mixed"):
+            for mean in (False, True):
+                bvp = PoissonBVP(h, bcs, Options(precision=prec, mean=mean))
+                u0 = jnp.zeros(shape)
+                (res, info), dt = _timed(lambda: bvp.solve(u0, rhs_dev))
+                print(
+                    f"config2 {name:18s} "
+                    f"[{prec:5s} {'mean' if mean else 'max '}]: "
+                    f"{dt*1e3:8.2f} ms  cycles={info.cycles} "
+                    f"du={info.du_last:.2e} ierr={info.ierr}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
