@@ -265,9 +265,13 @@ def main():
     times = []
     info = None
     for _ in range(reps):
+        # b1 is passed WITHOUT a defensive copy: the API reads only the
+        # boundary faces and never mutates its input (asserted by
+        # tests/test_api.py), and a 256 MB host copy inside the timed
+        # region is overhead the reference doesn't pay.
         t0 = time.perf_counter()
         ierr, A2, b2, info = vector_potential(
-            x, y, z, b1.copy(), options=opts, full_output=True
+            x, y, z, b1, options=opts, full_output=True
         )
         times.append(time.perf_counter() - t0)
     wall = min(times)

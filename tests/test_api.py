@@ -158,3 +158,16 @@ def test_output_dtype_float32():
     assert A.dtype == np.float32 and B.dtype == np.float32
     _, A64, B64 = vector_potential(x, y, z, b1.copy(), precision="fp64")
     np.testing.assert_allclose(A, A64, rtol=0, atol=1e-5)
+
+
+def test_input_b_never_mutated():
+    """vector_potential reads only b's boundary faces and never writes
+    its input (the contract behind bench.py passing b without a
+    defensive copy)."""
+    n = 10
+    x = np.linspace(0, 1, n)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal((3, n, n, n))
+    b_before = b.copy()
+    vector_potential(x, x, x, b, precision="fp32", vc_tol=1e-4)
+    assert np.array_equal(b, b_before)
