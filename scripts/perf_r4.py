@@ -148,9 +148,15 @@ def bench_batched(n):
     )
     bvps = [PoissonBVP(h, b, opts) for b in COMPONENT_BCS]
 
+    # Pre-upload the sequential arm's inputs like the batched arm's:
+    # passing host numpy would re-upload 3 x 85 MB f64 per rep through
+    # the tunnel (~2.6 s) and measure the link, not the solves (the
+    # round-4 first run of this script did exactly that).
+    u0s_dev = [jax.block_until_ready(jnp.asarray(u)) for u in u0s]
+
     def seq():
         outs = []
-        for bvp, u in zip(bvps, u0s):
+        for bvp, u in zip(bvps, u0s_dev):
             outs.append(bvp.solve(u, None, zero_rhs=True))
         return outs
 
