@@ -58,7 +58,9 @@ q_widths() {
   # 2. pass-rate sweeps at the default and re-calibrated VMEM budgets,
   # 3. end-to-end width A/Bs on the fixed (pre-upload) harness,
   # 4. V-cycle phase breakdown at the auto widths.
-  if [ -f /tmp/zc_ab_r3.npz ]; then
+  if [ -f /tmp/zc_ab_r4.npz ]; then
+    step zc_ab 3000 python3 scripts/zc_ab_capture.py check /tmp/zc_ab_r4.npz
+  elif [ -f /tmp/zc_ab_r3.npz ]; then
     step zc_ab 3000 python3 scripts/zc_ab_capture.py check /tmp/zc_ab_r3.npz
   fi
   step zc_pass 3000 python3 scripts/perf_zc_ns.py pass 256 512
