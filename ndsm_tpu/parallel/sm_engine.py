@@ -132,11 +132,46 @@ class ShardStencilKernels:
 
     def _pall_any(self, b):
         """Cross-shard OR of a bool scalar, yielding a mesh-invariant value
-        suitable for a replicated (P()) shard_map output."""
+        suitable for a replicated (P()) shard_map output.  Expressed as a
+        SUM all-reduce (psum of 0/1 ints > 0 is exactly OR): restricted
+        toolchains (this container's axon AOT rejects every all-reduce
+        except Sum) then compile it, and on standard XLA it is the same
+        one collective."""
         try:
-            return lax.pmax(b.astype(jnp.int32), self.names) > 0
+            return lax.psum(b.astype(jnp.int32), self.names) > 0
         except Exception:  # already invariant (or no vma typing): keep as-is
             return b
+
+    @staticmethod
+    def _psum_only() -> bool:
+        """Restricted-collective mode: some AOT toolchains accept ONLY
+        Sum all-reduces (this container's axon backend rejects pmax with
+        "Supported lowering only of Sum all reduce" — round-4 finding,
+        logs/dist_chip_r4.log).  NDSM_TPU_PSUM_ONLY=1 makes the engine
+        express every cross-shard reduction through psum: exact for the
+        mean metric, flags, and means; scale-type maxima use the psum
+        upper bound (<= ndev * max — any shard-invariant positive scale
+        of the right magnitude is valid there); the max METRIC has no
+        exact sum-only form and raises with guidance to use
+        Options(mean=True)."""
+        return os.environ.get("NDSM_TPU_PSUM_ONLY", "0") != "0"
+
+    def _pmax_scalar(self, x, *, scale_ok: bool = False):
+        """Cross-shard max of a scalar (invariant-typed).  Under
+        NDSM_TPU_PSUM_ONLY: psum upper bound when ``scale_ok`` (callers
+        that only need a shard-invariant positive normalization scale),
+        else a clear error — see _psum_only."""
+        if self._psum_only():
+            if scale_ok:
+                return lax.psum(x, self.names)
+            raise NotImplementedError(
+                "the max-metric cross-shard reduction needs an "
+                "all-reduce-max, which this backend rejects "
+                "(NDSM_TPU_PSUM_ONLY=1) — use the mean metric "
+                "(Options(mean=True), the reference's results_test2 "
+                "configuration)"
+            )
+        return lax.pmax(x, self.names)
 
     # -- geometry helpers ----------------------------------------------
 
@@ -953,13 +988,16 @@ class ShardedPoissonBVP(ShardStencilKernels):
     def _metric(self, a, b, level):
         du = jnp.abs(a - b)
         n = float(np.prod(self.h.shapes[level]))
+        # metric choice is STATIC (Options.du_max): build only the live
+        # branch, so mean-metric programs contain no all-reduce-max at
+        # all (restricted toolchains then compile them — _psum_only)
+        if self.options.du_max:
+            m = jnp.max(du)
+            return self._pmax_scalar(m) if level < self.seam else m
+        s = jnp.sum(du)
         if level < self.seam:
-            dmax = lax.pmax(jnp.max(du), self.names)
-            dsum = lax.psum(jnp.sum(du), self.names)
-        else:
-            dmax = jnp.max(du)
-            dsum = jnp.sum(du)
-        return dmax if self.options.du_max else dsum / jnp.asarray(n, a.dtype)
+            s = lax.psum(s, self.names)
+        return s / jnp.asarray(n, a.dtype)
 
     def _coarse_solve(self, rhs, ex_tol, nmax_exact):
         """Returns ``(u, noconv)`` — see MGEngine.t_solve_exact."""
@@ -1031,7 +1069,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
         cycles it supports; per-V-cycle du/cycle-count semantics are
         unchanged).  Returns (u_new, noconv, du_last, ncycles)."""
         r0 = self._sharded_residual(u, rhs, 0)
-        s = lax.pmax(jnp.max(jnp.abs(r0)), self.names)
+        s = self._pmax_scalar(jnp.max(jnp.abs(r0)), scale_ok=True)
         s_safe = jnp.where(s > 0, s, jnp.ones_like(s))
         r32 = (r0 / s_safe).astype(jnp.float32)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
@@ -1122,7 +1160,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
             if C_ext is not None:
                 args.append(C_ext)
             r32, mx = call(*args)
-        s = lax.pmax(jnp.max(mx), self.names)
+        s = self._pmax_scalar(jnp.max(mx), scale_ok=True)
         eps32 = 32.0 * float(np.finfo(np.float32).eps)
         ex_tol_eff = jnp.maximum(ex_tol, (eps32 * s).astype(ex_tol.dtype))
         e0 = self._vary(jnp.zeros(r32.shape, dtype=jnp.float32))
