@@ -563,3 +563,40 @@ def test_sharded_ext_out_smooth_end_to_end(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(u_e), np.asarray(u_x), rtol=0, atol=5e-5
     )
+
+
+def test_psum_only_mode(monkeypatch):
+    """NDSM_TPU_PSUM_ONLY=1 (restricted backends that accept only Sum
+    all-reduces — e.g. this container's axon AOT): mean-metric sharded
+    solves run and agree with the default-collective solve; the max
+    metric raises with guidance."""
+    import pytest as _pytest
+
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("N", "N"), ("D", "D"), ("D", "D"))
+    rng = np.random.default_rng(2)
+    rhs = rng.standard_normal((n, n, n))
+
+    opts_mean = Options(precision="fp64", mean=True, vc_tol=1e-6)
+    ref, i_ref = ShardedPoissonBVP(
+        h, bcs, opts_mean, mesh=make_mesh(8), min_rows_per_shard=2
+    ).solve(np.zeros_like(rhs), rhs)
+
+    monkeypatch.setenv("NDSM_TPU_PSUM_ONLY", "1")
+    got, i_got = ShardedPoissonBVP(
+        h, bcs, opts_mean, mesh=make_mesh(8), min_rows_per_shard=2
+    ).solve(np.zeros_like(rhs), rhs)
+    assert i_got.cycles == i_ref.cycles
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    with _pytest.raises(NotImplementedError, match="mean metric"):
+        ShardedPoissonBVP(
+            h, bcs, Options(precision="fp64", vc_tol=1e-6),
+            mesh=make_mesh(8), min_rows_per_shard=2,
+        ).solve(np.zeros_like(rhs), rhs)
