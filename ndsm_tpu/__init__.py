@@ -49,6 +49,11 @@ from .options import (  # noqa: E402
 )
 from .grids import GridHierarchy, num_grids, coarsen_shape  # noqa: E402
 from .mg.poisson import PoissonBVP, solve_poisson_bvp  # noqa: E402
+from .mg.operator import (  # noqa: E402
+    MGOperator,
+    PoissonOperator,
+    HelmholtzOperator,
+)
 from .potential.vector_potential import compute_vector_potential  # noqa: E402
 from .api import vector_potential  # noqa: E402
 
@@ -57,6 +62,9 @@ __all__ = [
     "compute_vector_potential",
     "solve_poisson_bvp",
     "PoissonBVP",
+    "MGOperator",
+    "PoissonOperator",
+    "HelmholtzOperator",
     "GridHierarchy",
     "Options",
     "SolveInfo",

@@ -35,7 +35,10 @@ __all__ = ["build_coarse_solver_matrix"]
 
 
 def build_coarse_solver_matrix(
-    shape: Tuple[int, ...], dq: Sequence[float], bcs: BCS
+    shape: Tuple[int, ...],
+    dq: Sequence[float],
+    bcs: BCS,
+    diag_shift: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (solve_matrix, interior_mask_flat).
 
@@ -43,6 +46,12 @@ def build_coarse_solver_matrix(
     ``e_int = solve_matrix @ rhs_int`` solves the coarse problem
     ``L e = rhs`` (with e = 0 on Dirichlet faces); for an all-Neumann
     problem it is the pseudo-inverse restricted to zero-mean solutions.
+
+    ``diag_shift`` adds a constant to every interior diagonal entry —
+    the assembly hook for shifted operators (mg/operator.py's
+    ``HelmholtzOperator`` passes ``-c`` for ``L - c``).  A nonzero
+    shift removes the all-Neumann nullspace, so the true inverse is
+    used there instead of the zero-mean pseudo-inverse.
     """
     ndim = len(shape)
     w = [1.0 / float(d) ** 2 for d in dq]
@@ -70,7 +79,7 @@ def build_coarse_solver_matrix(
         if not interior[pt]:
             continue
         r = row_of[idx[pt]]
-        diag = 0.0
+        diag = float(diag_shift)
         for ax in range(ndim):
             diag -= 2.0 * w[ax]
             for delta in (-1, +1):
@@ -87,7 +96,7 @@ def build_coarse_solver_matrix(
                 # else: Dirichlet neighbor, e = 0 contributes nothing
         A[r, r] += diag
 
-    all_n = all(tuple(b) == ("N", "N") for b in bcs)
+    all_n = all(tuple(b) == ("N", "N") for b in bcs) and diag_shift == 0.0
     if all_n:
         S = np.linalg.pinv(A, rcond=1e-12)
     else:

@@ -97,6 +97,7 @@ class MGEngine:
         coarse_direct: bool = False,
         compact_smoother: bool = True,
         use_pallas: str = "off",
+        operator=None,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
@@ -104,6 +105,16 @@ class MGEngine:
         self.du_max = bool(du_max)
         self.dtype = jnp.dtype(dtype)
         self.shard_spec = shard_spec
+        # Injected operator (mg/operator.py — the MG_RELAX/MG_RESIDUAL
+        # extension point, reference ndsm_multigrid_core.f90:106-136).
+        # None = the built-in Poisson stencil stack with its Pallas/
+        # compact fast paths; an MGOperator routes every sweep/residual
+        # through its traceable methods instead (fast paths off — they
+        # encode the Poisson stencil).
+        self.operator = operator
+        if operator is not None:
+            use_pallas = "off"
+            compact_smoother = False
         # Fused Pallas smoother (ops/pallas_fused.py): "on"/"interpret"
         # route eligible levels (3D float32, big enough, not all-Neumann,
         # unsharded) to the multi-sweep fused kernel; anything else falls
@@ -121,11 +132,23 @@ class MGEngine:
             np.prod(coarse_shape)
         ) <= _COARSE_DIRECT_MAX
         if self.coarse_direct:
-            S, int_mask = build_coarse_solver_matrix(
-                coarse_shape, hierarchy.dq[-1], self.bcs
-            )
-            self._coarse_S = S
-            self._coarse_rows = np.flatnonzero(int_mask)
+            if operator is None:
+                cm = build_coarse_solver_matrix(
+                    coarse_shape, hierarchy.dq[-1], self.bcs
+                )
+            else:
+                # Operator-provided dense coarse assembly, or fall back
+                # to relax-to-ex_tol when the operator doesn't offer one
+                # (the reference's only coarse solve).
+                cm = operator.coarse_matrix(
+                    coarse_shape, hierarchy.dq[-1], self.bcs
+                )
+            if cm is None:
+                self.coarse_direct = False
+            else:
+                S, int_mask = cm
+                self._coarse_S = S
+                self._coarse_rows = np.flatnonzero(int_mask)
 
         # Per-level spacings (static python floats -> device constants).
         self._dq = [np.asarray(d, dtype=np.float64) for d in hierarchy.dq]
@@ -278,6 +301,10 @@ class MGEngine:
 
     def t_sweep(self, u, rhs, level: int):
         dq = self._dq[level]
+        if self.operator is not None:
+            return self._constrain(
+                self.operator.relax(u, rhs, dq, self.bcs), level
+            )
         return self._constrain(stencils.rb_sweep(u, rhs, dq, self.bcs), level)
 
     def _pallas_eligible(self, level: int) -> bool:
@@ -699,6 +726,11 @@ class MGEngine:
                 f"padded level {level}: XLA residual on work storage "
                 "would reflect at the pad edge — the residual-fused "
                 "kernel must cover it (padding plan violated)"
+            )
+        if self.operator is not None:
+            return self._constrain(
+                self.operator.residual(u, rhs, self._dq[level], self.bcs),
+                level,
             )
         return self._constrain(
             stencils.poisson_residual(u, rhs, self._dq[level], self.bcs), level

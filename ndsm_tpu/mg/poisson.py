@@ -59,11 +59,11 @@ _COVFAIL_WARNING = (
 
 def _cached_engine(
     hierarchy, bcs, ms, du_max, dtype, shard_spec=None, coarse_direct=False,
-    compact_smoother=True, use_pallas="off",
+    compact_smoother=True, use_pallas="off", operator=None,
 ):
     key = (
         hierarchy, bcs, ms, du_max, jnp.dtype(dtype).name, shard_spec,
-        coarse_direct, compact_smoother, use_pallas,
+        coarse_direct, compact_smoother, use_pallas, operator,
     )
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
@@ -77,6 +77,7 @@ def _cached_engine(
             coarse_direct=coarse_direct,
             compact_smoother=compact_smoother,
             use_pallas=use_pallas,
+            operator=operator,
         )
         _ENGINE_CACHE.put(key, eng)
     return eng
@@ -100,11 +101,18 @@ class PoissonBVP:
         bcs: Sequence[Sequence[str]],
         options: Options = Options(),
         shard_spec=None,
+        operator=None,
     ):
         self.h = hierarchy
         self.bcs = stencils.validate_bcs(bcs, hierarchy.ndim)
         self.options = options
         self.shard_spec = shard_spec
+        # Injected operator (mg/operator.py): every path below —
+        # fp64/fp32 cycles, the mixed defect residual, the coarse solve
+        # — routes through MGEngine and therefore through the operator.
+        # The Pallas/df fast paths encode the Poisson stencil, so they
+        # are forced off here and in the engine.
+        self.operator = operator
         self.mode = options.resolve_precision()
         if self.mode not in ("fp64", "mixed", "fp32"):
             raise ValueError(f"unknown precision mode {self.mode!r}")
@@ -117,6 +125,8 @@ class PoissonBVP:
         from ..utils.compat import resolve_use_pallas
 
         use_pallas = resolve_use_pallas(getattr(options, "use_pallas", "auto"))
+        if operator is not None:
+            use_pallas = "off"
         self._inner = _cached_engine(
             hierarchy,
             self.bcs,
@@ -127,15 +137,21 @@ class PoissonBVP:
             coarse_direct,
             compact,
             use_pallas,
+            operator,
         )
         self._outer = (
             self._inner
             if self.inner_dtype == self.outer_dtype
             else _cached_engine(
-                hierarchy, self.bcs, options.ms, du_max, self.outer_dtype, shard_spec
+                hierarchy, self.bcs, options.ms, du_max, self.outer_dtype,
+                shard_spec, operator=operator,
             )
         )
-        self._all_neumann = stencils.is_all_neumann(self.bcs)
+        self._all_neumann = (
+            operator.is_singular(self.bcs)
+            if operator is not None
+            else stencils.is_all_neumann(self.bcs)
+        )
         # Mixed mode runs V-cycles in defect groups of up to this many
         # inner f32 cycles per f64 defect (Options.mixed_inner_max);
         # direct modes always 1.  Checkpointed solves pass 1 explicitly.
@@ -722,6 +738,7 @@ class PoissonBVP:
                 self.bcs,
                 dataclasses.replace(self.options, use_pallas="off"),
                 shard_spec=self.shard_spec,
+                operator=self.operator,
             )
             self._fallback_bvp = fb
         return fb
@@ -982,6 +999,7 @@ def get_poisson_bvp(
     bcs: Sequence[Sequence[str]],
     options: Options = Options(),
     shard_spec=None,
+    operator=None,
 ) -> PoissonBVP:
     """Memoized PoissonBVP construction: repeated solves with the same
     configuration reuse the compiled program."""
@@ -989,10 +1007,12 @@ def get_poisson_bvp(
     opt_key = dataclasses.astuple(
         dataclasses.replace(options, vc_tol=0.0, ex_tol=0.0, ncycles_max=0, niterex_max=0)
     )
-    key = (hierarchy, bcs_t, opt_key, shard_spec)
+    key = (hierarchy, bcs_t, opt_key, shard_spec, operator)
     bvp = _BVP_CACHE.get(key)
     if bvp is None:
-        bvp = PoissonBVP(hierarchy, bcs_t, options, shard_spec=shard_spec)
+        bvp = PoissonBVP(
+            hierarchy, bcs_t, options, shard_spec=shard_spec, operator=operator
+        )
         _BVP_CACHE.put(key, bvp)
     return bvp
 
@@ -1005,6 +1025,7 @@ def solve_poisson_bvp(
     *,
     ngrids: Optional[int] = None,
     options: Options = Options(),
+    operator=None,
 ) -> Tuple[jax.Array, SolveInfo]:
     """Functional one-shot Poisson solve.
 
@@ -1013,9 +1034,15 @@ def solve_poisson_bvp(
     "N"/"D" conditions per face; Dirichlet faces take their (possibly
     nonzero) values from ``u0``.  The multigrid hierarchy depth defaults to
     the reference rule ``floor(log2(min(shape)/2))``.
+
+    ``operator`` injects a non-Poisson operator (an
+    :class:`~ndsm_tpu.mg.operator.MGOperator`): the same V-cycle
+    machinery, stopping rules, precision modes, and error contract then
+    solve ``operator[u] = rhs`` — the reference's MG_RELAX/MG_RESIDUAL
+    extension point (ndsm_multigrid_core.f90:106-136).
     """
     hierarchy = GridHierarchy.from_mesh(meshes, ngrids=ngrids)
-    bvp = get_poisson_bvp(hierarchy, bcs, options)
+    bvp = get_poisson_bvp(hierarchy, bcs, options, operator=operator)
     # Tolerances/limits are passed per-call: the cached handle may have
     # been built with different (traced, non-recompiling) values.
     return bvp.solve(

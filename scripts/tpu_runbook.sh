@@ -91,7 +91,19 @@ q_r4() {
   step zc_pass_512 3000 python3 scripts/perf_zc_ns.py pass 512
 }
 
+q_r5ab() {
+  # VERDICT r4 item 5: settle the 256^3 pass-width question with a
+  # SAME-SESSION A/B on both bases (smoother_gdof_s AND end-to-end
+  # solve_s) — bench.py twice (width 2 pinned vs auto), then the perf
+  # harness end-to-end width sweep and the raw kernel pass rates.
+  step bench_220_w2   3400 env NDSM_BENCH_TIMEOUT=3300 NDSM_TPU_PALLAS_NSWEEPS=2 python3 bench.py
+  step bench_220_auto 3400 env NDSM_BENCH_TIMEOUT=3300 python3 bench.py
+  step widths_256_r5  5400 python3 scripts/perf_zc_ns.py solve 256 2 4 auto
+  step zc_pass_256_r5 3000 python3 scripts/perf_zc_ns.py pass 256
+}
+
 case "$QUEUE" in
+  r5ab)     probe; q_r5ab ;;
   headline) probe; q_headline ;;
   r4)       probe; q_r4; q_headline ;;
   perf)     probe; q_perf ;;
