@@ -356,6 +356,12 @@ def main():
             "ea_max_f32": ea32,
             "eb_max_f32": eb32,
             "accuracy_digits_ok_f32": digit_ok32,
+            # digits_ok_f32=False is the EXPECTED outcome for the f32
+            # download mode (outputs truncated to f32 cannot reproduce
+            # the golden table's f64 digits); the gate that must hold
+            # for it is trend_ok (errors within 20% of golden).  The
+            # headline gate is the f64 accuracy_ok field above.
+            "accuracy_digits_f32_expected": False,
             "accuracy_trend_ok_f32": trend_ok32,
         }
         print(

@@ -29,7 +29,39 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["GridHierarchy", "coarsen_shape", "num_grids"]
+__all__ = [
+    "GridHierarchy",
+    "coarsen_shape",
+    "num_grids",
+    "mesh_uniformity_error",
+]
+
+# Relative tolerance (vs the mean spacing) for declaring a mesh vector
+# uniform.  Meshes built by linspace/arange carry only ulp-level jitter
+# (~1e-16 relative); a genuinely graded mesh deviates at O(1).
+_UNIFORM_RTOL = 1e-8
+
+
+def mesh_uniformity_error(m: np.ndarray) -> float | None:
+    """None if ``m`` is uniformly spaced (within ``_UNIFORM_RTOL`` of the
+    mean spacing, scale-tied); else the max absolute spacing deviation.
+
+    The whole solver stack assumes per-axis uniform spacing — the
+    transfer matrices (ops/transfer.py), the stencil weights, and the
+    reference itself (ndsm_interp.f90:373 ``find_bracket_points_uniform``,
+    ndsm_vector_potential.f90:201-221 ``dq = q(2)-q(1)``).  A non-uniform
+    mesh is the one input error that corrupts results instead of
+    crashing, so it is validated at every construction boundary."""
+    d = np.diff(np.asarray(m, dtype=np.float64))
+    dq = (float(m[-1]) - float(m[0])) / (m.size - 1)
+    if dq == 0.0:
+        # zero-extent mesh: uniform only if every spacing is exactly 0
+        err = float(np.abs(d).max())
+        return err if err > 0.0 else None
+    err = float(np.abs(d - dq).max())
+    if err <= _UNIFORM_RTOL * abs(dq):
+        return None
+    return err
 
 
 def coarsen_shape(shape: Sequence[int]) -> Tuple[int, ...]:
@@ -90,6 +122,16 @@ class GridHierarchy:
         for i, m in enumerate(meshes):
             if m.ndim != 1 or m.size < 2:
                 raise ValueError(f"mesh vector {i} must be 1-D with >= 2 points")
+            err = mesh_uniformity_error(m)
+            if err is not None:
+                raise ValueError(
+                    f"mesh vector {i} is not uniformly spaced "
+                    f"(max |spacing - mean spacing| = {err:.3e}); the "
+                    "transfer operators and stencils assume uniform "
+                    "per-axis spacing (as does the reference, "
+                    "ndsm_interp.f90:373) — a non-uniform mesh would "
+                    "silently produce wrong answers"
+                )
         fine_shape = tuple(int(m.size) for m in meshes)
         if ngrids is None:
             ngrids = num_grids(fine_shape)

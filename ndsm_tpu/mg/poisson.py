@@ -721,6 +721,24 @@ class PoissonBVP:
 
     @staticmethod
     def _is_kernel_compile_error(e: Exception) -> bool:
+        """Kernel-stack failures worth one retry on the XLA smoother.
+
+        Typed check first (VERDICT r4: substring matching is fragile
+        across toolchains): Mosaic lowering / VMEM exhaustion surface
+        as ``jax.errors.JaxRuntimeError`` from the backend compile, so
+        any such error while the Pallas stack is active takes the
+        fallback — a genuine non-kernel failure simply re-raises from
+        the fallback solve (one cheap retrace, nothing has executed).
+        The substring match is kept for toolchains that wrap the
+        failure in a plain RuntimeError (the axon remote-compile
+        helper does)."""
+        try:
+            from jax.errors import JaxRuntimeError
+
+            if isinstance(e, JaxRuntimeError):
+                return True
+        except ImportError:  # pragma: no cover - very old jax
+            pass
         s = str(e)
         return any(
             k in s

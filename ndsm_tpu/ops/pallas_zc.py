@@ -187,18 +187,30 @@ def pick_tiles_zc(
 
 @functools.lru_cache(maxsize=512)
 def auto_pass_width(shape: Tuple[int, int, int], ms: int) -> int:
-    """Deepest fused pass width whose PLAIN-variant tile fraction stays
-    >= 0.4 — the measured end-to-end crossover on this chip (PERF_NOTES
-    round 8): at 256^3, width 4 (frac 0.444) beats width 2 by 6.6% on
-    the full mixed solve, width 5 (frac 0.222) loses 8%; at 512^3 the
-    width-4 fraction collapses to 0.25 and width 2 (frac 0.444) wins.
-    Coarse levels cap windows at the full axis (halo-free there), so
-    they pick deep widths and run each smooth leg in one or two passes,
-    which also amortizes the per-pass dispatch cost."""
+    """Fused pass width: 2 on fine production levels, deeper only where
+    the tile fraction says the halo is nearly free (>= 0.6 — window-
+    capped coarse levels, where each smooth leg then runs in one or two
+    passes and the per-pass dispatch is amortized).
+
+    Re-calibrated by the round-5 SAME-SESSION A/B (VERDICT r4 item 5;
+    logs/widths_256_r5.log, zc_pass_256_r5.log, bench_220_{w2,auto}):
+    at 256^3 the old "deepest width with frac >= 0.4" rule picked 4,
+    but width 2 wins the end-to-end mixed solve 136.3 vs 151.8 ms
+    (-10%) and the bench smoother basis 54.4 vs 38.2 G DOF/s — the
+    BENCH_r02 63 G -> BENCH_r04 52 G smoother regression was this
+    picker misfire, not a basis change.  Raw per-pass rates are flat
+    (ns=2..4 all ~48-50 G), so depth buys nothing on fine levels while
+    its deeper-halo residual/correction-fused variants cost; width 2
+    also wins at 512^3 (frac 0.444 vs 0.25).  The round-8 "width 4
+    beats 2 by 6.6%" measurement predates the metric-fused final pass
+    and remainder-kernel composition and no longer reproduces."""
     best = 1
     for w in range(1, max(1, min(ms, 8)) + 1):
         p = pick_tiles_zc(shape, w)
-        if p is not None and p[0] * p[1] / (p[2] * p[3]) >= 0.4:
+        if p is None:
+            continue
+        frac = p[0] * p[1] / (p[2] * p[3])
+        if (w <= 2 and frac >= 0.4) or frac >= 0.6:
             best = w
     return best
 
@@ -869,17 +881,19 @@ def zc_smooth_residual_3d(
 
 def pick_tiles_zc_sharded(
     local_shape: Tuple[int, int, int], nsweeps: int, ext_y: bool,
-    residual: bool = False,
+    residual: bool = False, min_tz: int = 0,
 ) -> Optional[Tuple[int, int, int, int]]:
     """(tz, ty, W_z, W_y) over the REAL local block; windows read from
     the extended block.  Budget counts 3 double-buffered streams (u,
     rhs, C) plus the split work arrays (and the residual variant's
-    extra live halves, like the dense kernel's)."""
+    extra live halves, like the dense kernel's).  ``min_tz`` floors the
+    z tile (the halo-args fetch needs tz >= H_z so each window's
+    lo/core/hi parts each come from exactly one source array)."""
     nz, ny, nx = local_shape
     H_z, H_y = _halos(nsweeps, residual)
     best, best_frac = None, 0.0
     for tz in range(2, min(nz, 256) + 1, 2):
-        if nz % tz:
+        if nz % tz or tz < min_tz:
             continue
         for ty in range(8, min(ny, 256) + 1, 8):
             if ny % ty:
@@ -907,7 +921,7 @@ def pick_tiles_zc_sharded(
 
 def zc_sharded_supported(
     local_shape, dtype, nsweeps: int, ext_y: bool, interpret: bool = False,
-    residual: bool = False,
+    residual: bool = False, halo_args: bool = False,
 ) -> bool:
     if len(local_shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
@@ -918,8 +932,13 @@ def zc_sharded_supported(
         return False  # even global offsets keep the parity static
     if not interpret and nx % 128 != 0:
         return False
+    if halo_args and ext_y:
+        return False  # halo-args fetch implemented for the z axis only
+    min_tz = _halos(nsweeps, residual)[0] if halo_args else 0
     return (
-        pick_tiles_zc_sharded(tuple(local_shape), nsweeps, ext_y, residual)
+        pick_tiles_zc_sharded(
+            tuple(local_shape), nsweeps, ext_y, residual, min_tz=min_tz
+        )
         is not None
     )
 
@@ -929,12 +948,18 @@ def _zc_sharded_kernel(
     nz: int, ny: int, nx: int, tz: int, ty: int, W_z: int, W_y: int,
     H_z: int, H_y: int, ext_y: bool,
     w: Tuple[float, float, float], w0: float, nsweeps: int, p0: int,
-    residual: bool = False, ext_out: bool = False,
+    residual: bool = False, ext_out: bool = False, halo_args: bool = False,
 ):
-    # Ref layout: inputs (u, rhs, C), outputs (out[, res]),
-    # scratch (bufU, bufR, bufC, work arrays, sems).
-    u_hbm, rhs_hbm, c_hbm = refs[0], refs[1], refs[2]
-    refs = refs[3:]
+    # Ref layout: inputs (u, rhs, C) — or, with ``halo_args``, the
+    # LOCAL blocks plus narrow lo/hi z-edge buffers per input
+    # (u, u_lo, u_hi, rhs, r_lo, r_hi, C, c_lo, c_hi) — then outputs
+    # (out[, res]), scratch (bufU, bufR, bufC, sems).
+    if halo_args:
+        (u_hbm, u_lo, u_hi, rhs_hbm, r_lo, r_hi, c_hbm, c_lo, c_hi) = refs[:9]
+        refs = refs[9:]
+    else:
+        u_hbm, rhs_hbm, c_hbm = refs[0], refs[1], refs[2]
+        refs = refs[3:]
     out_ref, refs = refs[0], refs[1:]
     res_ref = None
     if residual:
@@ -970,6 +995,124 @@ def _zc_sharded_kernel(
             )
         ]
         return dmas
+
+    # ---- halo-args fetch: assemble each window in VMEM from the LOCAL
+    # block plus the narrow lo/hi edge buffers, three static-size DMAs
+    # per input along z (lo | mid | hi), sources branch-selected on the
+    # window's z-tile position.  The VMEM window contents are BYTE-
+    # IDENTICAL to the extended-input fetch above, so the compute core
+    # below is untouched — this only removes the engine-side full-array
+    # halo-extension passes (VERDICT r4 item 2).  Requires tz >= H_z
+    # (picker min_tz) so each part reads exactly one source.
+    if halo_args:
+        trips = (
+            (u_hbm, u_lo, u_hi, bufU, 0),
+            (rhs_hbm, r_lo, r_hi, bufR, 1),
+            (c_hbm, c_lo, c_hi, bufC, 2),
+        )
+        z_last = i32(nz // tz - 1)
+
+        def _sy_halo(jj):
+            return pl.multiple_of(
+                jnp.minimum(
+                    jnp.maximum(jj * i32(ty) - i32(H_y), 0), i32(ny - W_y)
+                ),
+                8,
+            )
+
+        def fetch_halo_start(slot, ii, jj):
+            ysl = pl.ds(_sy_halo(jj), W_y)
+            xs = slice(None)
+            for core, lo, hi, buf, k in trips:
+                # mid: tz core rows [ii*tz, (ii+1)*tz)
+                pltpu.make_async_copy(
+                    core.at[(pl.ds(ii * i32(tz), tz), ysl, xs)],
+                    buf.at[(slot, pl.ds(i32(H_z), tz), slice(None), xs)],
+                    in_sems.at[slot, i32(3 * k + 1)],
+                ).start()
+
+            @pl.when(ii == i32(0))
+            def _():
+                for core, lo, hi, buf, k in trips:
+                    pltpu.make_async_copy(
+                        lo.at[(pl.ds(i32(0), H_z), ysl, xs)],
+                        buf.at[(slot, pl.ds(i32(0), H_z), slice(None), xs)],
+                        in_sems.at[slot, i32(3 * k)],
+                    ).start()
+
+            @pl.when(ii != i32(0))
+            def _():
+                for core, lo, hi, buf, k in trips:
+                    pltpu.make_async_copy(
+                        core.at[
+                            (pl.ds(ii * i32(tz) - i32(H_z), H_z), ysl, xs)
+                        ],
+                        buf.at[(slot, pl.ds(i32(0), H_z), slice(None), xs)],
+                        in_sems.at[slot, i32(3 * k)],
+                    ).start()
+
+            @pl.when(ii == z_last)
+            def _():
+                for core, lo, hi, buf, k in trips:
+                    pltpu.make_async_copy(
+                        hi.at[(pl.ds(i32(0), H_z), ysl, xs)],
+                        buf.at[
+                            (slot, pl.ds(i32(W_z - H_z), H_z), slice(None), xs)
+                        ],
+                        in_sems.at[slot, i32(3 * k + 2)],
+                    ).start()
+
+            @pl.when(ii != z_last)
+            def _():
+                for core, lo, hi, buf, k in trips:
+                    pltpu.make_async_copy(
+                        core.at[
+                            (pl.ds((ii + i32(1)) * i32(tz), H_z), ysl, xs)
+                        ],
+                        buf.at[
+                            (slot, pl.ds(i32(W_z - H_z), H_z), slice(None), xs)
+                        ],
+                        in_sems.at[slot, i32(3 * k + 2)],
+                    ).start()
+
+        def fetch_halo_wait(slot, ii, jj):
+            # a DMA wait consumes (destination bytes, semaphore) only;
+            # the same-shape core windows stand in for the started
+            # copies' branch-selected sources
+            ysl = pl.ds(_sy_halo(jj), W_y)
+            xs = slice(None)
+            for core, lo, hi, buf, k in trips:
+                pltpu.make_async_copy(
+                    core.at[(pl.ds(i32(0), H_z), ysl, xs)],
+                    buf.at[(slot, pl.ds(i32(0), H_z), slice(None), xs)],
+                    in_sems.at[slot, i32(3 * k)],
+                ).wait()
+                pltpu.make_async_copy(
+                    core.at[(pl.ds(i32(0), tz), ysl, xs)],
+                    buf.at[(slot, pl.ds(i32(H_z), tz), slice(None), xs)],
+                    in_sems.at[slot, i32(3 * k + 1)],
+                ).wait()
+                pltpu.make_async_copy(
+                    core.at[(pl.ds(i32(0), H_z), ysl, xs)],
+                    buf.at[
+                        (slot, pl.ds(i32(W_z - H_z), H_z), slice(None), xs)
+                    ],
+                    in_sems.at[slot, i32(3 * k + 2)],
+                ).wait()
+
+    def start_fetch(slot, ii, jj):
+        if halo_args:
+            fetch_halo_start(slot, ii, jj)
+        else:
+            for d in fetch(slot, ii, jj):
+                d.start()
+
+    def wait_fetch(slot, ii, jj):
+        if halo_args:
+            fetch_halo_wait(slot, ii, jj)
+        else:
+            for d in fetch(slot, ii, jj):
+                d.wait()
 
     def out_dmas(slot, ii, jj):
         sz, sy = window_starts(ii, jj)
@@ -1011,8 +1154,7 @@ def _zc_sharded_kernel(
 
     @pl.when(step == i32(0))
     def _():
-        for d in fetch(i32(0), i, j):
-            d.start()
+        start_fetch(i32(0), i, j)
 
     @pl.when(step + i32(1) < total)
     def _():
@@ -1026,11 +1168,9 @@ def _zc_sharded_kernel(
             for d in out_dmas(lax.rem(pstep, i32(2)), pi, pj):
                 d.wait()
 
-        for d in fetch(lax.rem(nstep, i32(2)), ni, nj):
-            d.start()
+        start_fetch(lax.rem(nstep, i32(2)), ni, nj)
 
-    for d in fetch(slot, i, j):
-        d.wait()
+    wait_fetch(slot, i, j)
 
     # Window-position-independent parity: all z/y window starts and the
     # shard's global offsets are even (tz, H_z even; ty, H_y % 8 == 0;
@@ -1144,6 +1284,7 @@ def zc_smooth_sharded_3d(
     vma=None,
     residual: bool = False,
     ext_out: bool = False,
+    halo_args: bool = False,
 ):
     """Build the per-shard smoother, or None if unsupported.  Returns
     call(ext_u, ext_rhs, ext_C) -> u over the REAL local block, where
@@ -1167,33 +1308,46 @@ def zc_smooth_sharded_3d(
     edge planes instead of re-concatenating the whole block per pass
     (the measured per-pass cost of the halo-extended formulation on a
     1-device mesh — PERF_NOTES driver round 4).  The residual output
-    (when requested) stays local-layout."""
+    (when requested) stays local-layout.
+
+    ``halo_args``: instead of pre-extended inputs, the call takes the
+    LOCAL blocks plus narrow z-edge buffers —
+    ``call(u, u_lo, u_hi, rhs, r_lo, r_hi, C, c_lo, c_hi)`` with edges
+    of shape (H_z, ny, nx) — and the kernel assembles each window via
+    separate DMAs (lo | core | hi).  This removes the engine-side
+    full-array halo-extension/crop XLA passes entirely (the measured
+    bulk of the 1.18x single-shard overhead, PERF_NOTES r4); only the
+    narrow edge planes ride the exchange.  z-partitioned (ext_y=False)
+    meshes only; mutually exclusive with ``ext_out``."""
     local_shape = tuple(int(s) for s in local_shape)
+    if halo_args and (ext_y or ext_out):
+        return None
     if not zc_sharded_supported(
         local_shape, dtype, nsweeps, ext_y, interpret=interpret,
-        residual=residual,
+        residual=residual, halo_args=halo_args,
     ):
         return None
     nz, ny, nx = local_shape
+    H_z, H_y = _halos(nsweeps, residual)
     tz, ty, W_z, W_y = pick_tiles_zc_sharded(
-        local_shape, nsweeps, ext_y, residual
+        local_shape, nsweeps, ext_y, residual,
+        min_tz=(H_z if halo_args else 0),
     )
     dq = np.asarray(dq, dtype=np.float64)
     w32 = (1.0 / (dq * dq)).astype(np.float32)
     w = tuple(float(x) for x in w32)
     w0 = float(np.float32(1.0) / (np.float32(2.0) * np.sum(w32)))
-    H_z, H_y = _halos(nsweeps, residual)
 
     kernel = functools.partial(
         _zc_sharded_kernel,
         nz=nz, ny=ny, nx=nx, tz=tz, ty=ty, W_z=W_z, W_y=W_y,
         H_z=H_z, H_y=H_y, ext_y=ext_y,
         w=w, w0=w0, nsweeps=nsweeps, p0=int(p0),
-        residual=residual, ext_out=ext_out,
+        residual=residual, ext_out=ext_out, halo_args=halo_args,
     )
     grid = (nz // tz, ny // ty)
     W_zc = W_z // 2
-    n_in = 3
+    n_in = 9 if halo_args else 3
     vset = None if vma is None else frozenset(vma)
 
     def sds(shape):
@@ -1226,14 +1380,14 @@ def zc_smooth_sharded_3d(
         ],
         cost_estimate=pl.CostEstimate(
             flops=int((nsweeps + (1 if residual else 0)) * 11 * nz * ny * nx),
-            bytes_accessed=int((n_in + len(out_shape)) * 4 * nz * ny * nx),
+            bytes_accessed=int((3 + len(out_shape)) * 4 * nz * ny * nx),
             transcendentals=0,
         ),
         interpret=interpret,
     )
     if not residual:
-        def apply_plain(ext_u, ext_rhs, ext_C):
-            return call(ext_u, ext_rhs, ext_C)[0]
+        def apply_plain(*args):
+            return call(*args)[0]
 
         return apply_plain
     return call

@@ -153,7 +153,17 @@ class ShardStencilKernels:
         upper bound (<= ndev * max — any shard-invariant positive scale
         of the right magnitude is valid there); the max METRIC has no
         exact sum-only form and raises with guidance to use
-        Options(mean=True)."""
+        Options(mean=True).
+
+        Caveat (ADVICE r4): in MIXED precision the scale feeds the
+        coarse-tolerance floor ``ex_tol_eff = max(ex_tol, eps32*s)``, so
+        the psum substitution can LOOSEN that floor by up to the device
+        count.  The floor only guards against asking the f32 coarse
+        relax for sub-resolution convergence; an ndev-times-larger
+        floor still sits ~eps32*ndev « any practical ex_tol effect, and
+        the stopping metric itself (mean du) stays exact — fp64 solves
+        are bitwise-identical, mixed solves agree at tolerance level
+        (pinned by tests/test_dist.py::test_psum_only_mode)."""
         return os.environ.get("NDSM_TPU_PSUM_ONLY", "0") != "0"
 
     def _pmax_scalar(self, x, *, scale_ok: bool = False):
@@ -258,23 +268,30 @@ class ShardStencilKernels:
 
     # -- halo-extended blocks (for the per-shard Pallas smoother) ------
 
+    def _edge_planes(self, v, ax: int, nm, H: int):
+        """(lo, hi) depth-``H`` halo slabs along partitioned axis ``ax``
+        — exactly the slabs ``_extend_block`` concatenates: neighbor
+        planes via ppermute; the shard's own node-mirror planes at the
+        global chain ends (ext[-k] := v[k] — the index reflection of a
+        true Neumann face, same red-black parity; Dirichlet-face halo
+        content is irrelevant, those planes are frozen via the streamed
+        mask code)."""
+        from_prev, from_next = self._exchange_planes(v, ax, depth=H)
+        mirror_lo = jnp.flip(_plane(v, ax, 1, H + 1), axis=ax)
+        mirror_hi = jnp.flip(_plane(v, ax, -H - 1, -1), axis=ax)
+        idx = lax.axis_index(nm)
+        lo = jnp.where(idx == 0, mirror_lo, from_prev)
+        hi = jnp.where(idx == self.ndev[nm] - 1, mirror_hi, from_next)
+        return lo, hi
+
     def _extend_block(self, v, level, H_map):
         """Extend ``v`` by ``H_map[ax]`` planes on BOTH sides of every
-        partitioned axis: neighbor planes via ppermute; the shard's own
-        node-mirror planes at the global chain ends (ext[-k] := v[k] —
-        the index reflection of a true Neumann face, same red-black
-        parity; Dirichlet-face halo content is irrelevant, those planes
-        are frozen via the streamed mask code)."""
+        partitioned axis (see ``_edge_planes`` for the halo content)."""
         for ax, nm in self.parts:
             H = H_map.get(ax, 0)
             if H == 0:
                 continue
-            from_prev, from_next = self._exchange_planes(v, ax, depth=H)
-            mirror_lo = jnp.flip(_plane(v, ax, 1, H + 1), axis=ax)
-            mirror_hi = jnp.flip(_plane(v, ax, -H - 1, -1), axis=ax)
-            idx = lax.axis_index(nm)
-            lo = jnp.where(idx == 0, mirror_lo, from_prev)
-            hi = jnp.where(idx == self.ndev[nm] - 1, mirror_hi, from_next)
+            lo, hi = self._edge_planes(v, ax, nm, H)
             v = jnp.concatenate([lo, v, hi], axis=ax)
         return v
 
@@ -374,12 +391,23 @@ class ShardStencilKernels:
         ns_star = min(ms, _pallas_nsweeps())
         rem = ms % ns_star
         last = rem if rem else ns_star
+        halo = self._halo_args_ok()
         for level in range(self.seam):
             shape = self._local_shape(level)
             for n in {ns_star, rem} - {0}:
-                if self._zc_sharded_fn(level, n) is not None:
+                if halo and self._zc_sharded_fn(
+                    level, n, halo_args=True
+                ) is not None:
+                    self._c_halo_cached(shape, level, pallas_zc._halos(n)[0])
+                elif self._zc_sharded_fn(level, n) is not None:
                     self._c_ext_cached(shape, level, self._H_map(n))
-            if self._zc_sharded_res_fn(level, last) is not None:
+            if halo and self._zc_sharded_res_fn(
+                level, last, halo_args=True
+            ) is not None:
+                self._c_halo_cached(
+                    shape, level, pallas_zc._halos(last, True)[0]
+                )
+            elif self._zc_sharded_res_fn(level, last) is not None:
                 H_z, H_y = pallas_zc._halos(last, True)
                 H = {0: H_z}
                 if len(self.names) > 1:
@@ -729,15 +757,20 @@ class ShardedPoissonBVP(ShardStencilKernels):
     def _dq_of(self, level: int):
         return self._dq[level]
 
-    def _zc_sharded_fn(self, level: int, n: int, ext_out: bool = False):
+    def _zc_sharded_fn(
+        self, level: int, n: int, ext_out: bool = False,
+        halo_args: bool = False,
+    ):
         """Per-shard z-compact Pallas smoother (ops/pallas_zc.py sharded
         variant) for (level, n sweeps per pass), or None.  ``ext_out``
         builds the extended-layout-output variant (the engine then
         refreshes only edge planes between passes instead of
-        re-concatenating the whole block)."""
+        re-concatenating the whole block).  ``halo_args`` builds the
+        in-kernel halo-DMA variant (local block + narrow edge buffers;
+        no extended arrays at all — VERDICT r4 item 2)."""
         from ..mg.engine import _pallas_min_points
 
-        key = (level, n, ext_out)
+        key = (level, n, ext_out, halo_args)
         if key in self._zc_fns:
             return self._zc_fns[key]
         fn = None
@@ -766,9 +799,21 @@ class ShardedPoissonBVP(ShardStencilKernels):
                     interpret=(self.use_pallas == "interpret"),
                     vma={nm for _, nm in self.parts},
                     ext_out=ext_out,
+                    halo_args=halo_args,
                 )
         self._zc_fns[key] = fn
         return fn
+
+    def _halo_args_ok(self) -> bool:
+        """The in-kernel halo-DMA smoother path applies on single-axis
+        (z-partitioned) meshes; NDSM_TPU_ZC_HALO_ARGS=0 reverts to the
+        extended-input kernels (the measured r4 fallback)."""
+        return (
+            len(self.names) == 1
+            and bool(self.parts)
+            and self.parts[0][0] == 0
+            and os.environ.get("NDSM_TPU_ZC_HALO_ARGS", "1") != "0"
+        )
 
     def _H_map(self, nsweeps: int):
         from ..ops import pallas_zc
@@ -823,12 +868,57 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 u = lax.fori_loop(0, rem, body, u)
         return u
 
-    def _zc_sharded_res_fn(self, level: int, n: int):
+    def _c_halo_cached(self, shape, level, H: int):
+        """(C_local, c_lo, c_hi) mask-code block + depth-H z edges for
+        the halo-args kernels, served from the per-solve trace cache
+        (same hoisting rationale as ``_c_ext_cached``)."""
+        key = ("halo", tuple(shape), level, H)
+        cache = self._c_trace_cache
+        if cache is not None and key in cache:
+            return cache[key]
+        C = self._zc_mask_code(shape, level)
+        ax, nm = self.parts[0]
+        c_lo, c_hi = self._edge_planes(C, ax, nm, H)
+        val = (C, c_lo, c_hi)
+        if cache is not None:
+            cache[key] = val
+        return val
+
+    def _smooth_zc_halo(self, u, rhs, level, n, ns_star, fzh):
+        """n sweeps via the halo-args kernel: per pass, only the narrow
+        edge slabs ride the exchange (2 ppermutes + mirror selects) and
+        the kernel DMA-assembles each window from the LOCAL arrays — no
+        full-array halo-extension/crop passes (they were the bulk of
+        the 1.18x single-shard overhead, PERF_NOTES r4)."""
+        from ..ops import pallas_zc
+
+        ax, nm = self.parts[0]
+        H = pallas_zc._halos(ns_star)[0]
+        C, c_lo, c_hi = self._c_halo_cached(u.shape, level, H)
+        r_lo, r_hi = self._edge_planes(rhs, ax, nm, H)
+        q, rem = divmod(n, ns_star)
+        for _ in range(q):
+            u_lo, u_hi = self._edge_planes(u, ax, nm, H)
+            u = fzh(u, u_lo, u_hi, rhs, r_lo, r_hi, C, c_lo, c_hi)
+        if rem:
+            frh = self._zc_sharded_fn(level, rem, halo_args=True)
+            if frh is not None:
+                Hr = pallas_zc._halos(rem)[0]
+                Cr, crl, crh = self._c_halo_cached(u.shape, level, Hr)
+                rl, rh = self._edge_planes(rhs, ax, nm, Hr)
+                u_lo, u_hi = self._edge_planes(u, ax, nm, Hr)
+                u = frh(u, u_lo, u_hi, rhs, rl, rh, Cr, crl, crh)
+            else:
+                body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
+                u = lax.fori_loop(0, rem, body, u)
+        return u
+
+    def _zc_sharded_res_fn(self, level: int, n: int, halo_args: bool = False):
         """Residual-fused per-shard smoother (n sweeps + the residual of
         the swept state in one pass over a 2n+1-deep halo), or None."""
         from ..mg.engine import _pallas_min_points
 
-        key = ("res", level, n)
+        key = ("res", level, n, halo_args)
         if key in self._zc_fns:
             return self._zc_fns[key]
         fn = None
@@ -856,6 +946,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
                     interpret=(self.use_pallas == "interpret"),
                     vma={nm for _, nm in self.parts},
                     residual=True,
+                    halo_args=halo_args,
                 )
         self._zc_fns[key] = fn
         return fn
@@ -877,6 +968,22 @@ class ShardedPoissonBVP(ShardStencilKernels):
             ns_star = min(n, _pallas_nsweeps())
             rem = n % ns_star
             last = rem if rem else ns_star
+            if self._halo_args_ok():
+                fzh = self._zc_sharded_fn(level, ns_star, halo_args=True)
+                frh = self._zc_sharded_res_fn(level, last, halo_args=True)
+                if fzh is not None and frh is not None:
+                    head = n - last
+                    if head:
+                        u = self._smooth_zc_halo(
+                            u, rhs, level, head, ns_star, fzh
+                        )
+                    ax, nm = self.parts[0]
+                    Hr = pallas_zc._halos(last, True)[0]
+                    Cr, crl, crh = self._c_halo_cached(u.shape, level, Hr)
+                    rl, rh = self._edge_planes(rhs, ax, nm, Hr)
+                    u_lo, u_hi = self._edge_planes(u, ax, nm, Hr)
+                    u, r = frh(u, u_lo, u_hi, rhs, rl, rh, Cr, crl, crh)
+                    return u, r
             fz = self._zc_sharded_fn(level, ns_star)
             fr = self._zc_sharded_res_fn(level, last)
             if fz is not None and fr is not None:
@@ -909,6 +1016,12 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 from ..mg.engine import _pallas_nsweeps
 
                 ns_star = min(n, _pallas_nsweeps())
+                if self._halo_args_ok():
+                    fzh = self._zc_sharded_fn(level, ns_star, halo_args=True)
+                    if fzh is not None:
+                        return self._smooth_zc_halo(
+                            u, rhs, level, n, ns_star, fzh
+                        )
                 fz = self._zc_sharded_fn(level, ns_star)
                 if fz is not None:
                     return self._smooth_zc_sharded(u, rhs, level, n, ns_star, fz)

@@ -72,14 +72,17 @@ def resolve_use_pallas(mode: str) -> str:
     """Resolve Options.use_pallas ("auto"/"on"/"off") to the engine's
     effective mode ("on"/"off"/"interpret").
 
-    NDSM_TPU_PALLAS overrides: "0" -> off, "1" -> on (no probe),
-    "interpret" -> interpreter mode (testing the wiring on CPU).
-    "auto" probes the backend (pallas_fused_usable)."""
+    NDSM_TPU_PALLAS overrides "auto"/"on": "0" -> off, "1" -> on (no
+    probe), "interpret" -> interpreter mode (testing the wiring on
+    CPU).  An EXPLICIT Options(use_pallas="off") always wins — the
+    kernel-compile-failure fallback rebuilds with use_pallas="off" and
+    must come out kernel-free even under the env override, or a broken
+    kernel would retry itself forever (round-5 fallback-test finding)."""
+    if mode == "off":
+        return "off"
     env = os.environ.get("NDSM_TPU_PALLAS")
     if env is not None:
         return {"0": "off", "1": "on", "interpret": "interpret"}.get(env, "off")
-    if mode == "off":
-        return "off"
     if mode == "on":
         return "on"
     return "on" if pallas_fused_usable() else "off"

@@ -544,6 +544,9 @@ def test_sharded_ext_out_smooth_end_to_end(monkeypatch):
 
     monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
     monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+    # pin the extended-input chain: the halo-args path (default on for
+    # single-axis meshes since r5) has its own test below
+    monkeypatch.setenv("NDSM_TPU_ZC_HALO_ARGS", "0")
     sp = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
     assert sp._zc_sharded_fn(0, 2, ext_out=True) is not None
     u_e, info_e = sp.solve(u0, rhs)
@@ -600,3 +603,98 @@ def test_psum_only_mode(monkeypatch):
             h, bcs, Options(precision="fp64", vc_tol=1e-6),
             mesh=make_mesh(8), min_rows_per_shard=2,
         ).solve(np.zeros_like(rhs), rhs)
+
+    # MIXED precision (ADVICE r4): the psum-substituted normalization
+    # scale loosens the f32 coarse-tolerance floor by <= ndev, which
+    # must not change the cycle count and may perturb the solution only
+    # at tolerance level.
+    monkeypatch.delenv("NDSM_TPU_PSUM_ONLY")
+    opts_mixed = Options(precision="mixed", mean=True, vc_tol=1e-8)
+    ref_m, i_ref_m = ShardedPoissonBVP(
+        h, bcs, opts_mixed, mesh=make_mesh(8), min_rows_per_shard=2
+    ).solve(np.zeros_like(rhs), rhs)
+    monkeypatch.setenv("NDSM_TPU_PSUM_ONLY", "1")
+    got_m, i_got_m = ShardedPoissonBVP(
+        h, bcs, opts_mixed, mesh=make_mesh(8), min_rows_per_shard=2
+    ).solve(np.zeros_like(rhs), rhs)
+    assert i_got_m.ierr == 0
+    assert i_got_m.cycles == i_ref_m.cycles
+    np.testing.assert_allclose(
+        np.asarray(got_m), np.asarray(ref_m), rtol=0, atol=1e-8
+    )
+
+
+def test_sharded_halo_args_smooth_end_to_end(monkeypatch):
+    """In-kernel halo-DMA smoother (VERDICT r4 item 2): on a single-axis
+    mesh the kernels take the LOCAL block + narrow edge buffers and
+    assemble windows via DMA, removing the full-array halo-extension
+    passes.  Must be bitwise-identical to the extended-input chain
+    (same VMEM window contents by construction), at every driver level:
+    mixed-precision solve on 8 shards, fp32 with a remainder width, and
+    a single-shard mesh (the perf_shard1 configuration)."""
+    from ndsm_tpu import GridHierarchy, Options
+    from ndsm_tpu.parallel.shard import make_mesh
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("N", "N"), ("D", "D"), ("D", "N"))
+    rng = np.random.default_rng(5)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros_like(rhs)
+    monkeypatch.setenv("NDSM_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("NDSM_TPU_PALLAS_MIN_POINTS", "0")
+
+    # local nz must be >= H_z+1 = 5 for the ns=2 kernels: 4 shards of 32
+    for prec, nshard, ms in (("mixed", 4, 5), ("fp32", 4, 3), ("mixed", 1, 5)):
+        opts = Options(precision=prec, vc_tol=1e-6, ncycles_max=20, ms=ms)
+        mesh = make_mesh(nshard)
+        monkeypatch.setenv("NDSM_TPU_ZC_HALO_ARGS", "1")
+        sh = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
+        assert sh._halo_args_ok()
+        assert sh._zc_sharded_fn(0, 2, halo_args=True) is not None
+        u_h, info_h = sh.solve(u0, rhs)
+        monkeypatch.setenv("NDSM_TPU_ZC_HALO_ARGS", "0")
+        se = ShardedPoissonBVP(h, bcs, opts, mesh=mesh, min_rows_per_shard=2)
+        u_e, info_e = se.solve(u0, rhs)
+        assert info_h.cycles == info_e.cycles, (prec, nshard)
+        assert np.array_equal(np.asarray(u_h), np.asarray(u_e)), (prec, nshard)
+
+
+def test_zc_sharded_halo_args_kernel_bitwise():
+    """Kernel-level A/B: the halo-args fetch (local + edge buffers, 3
+    DMAs per input along z) must produce byte-identical windows to the
+    extended-input fetch — outputs bitwise across widths and the
+    residual variant."""
+    from ndsm_tpu.ops import pallas_zc as z
+
+    rng = np.random.default_rng(0)
+    local = (16, 16, 32)
+    dq = np.array([0.1, 0.11, 0.12])
+    for ns, residual in [(1, False), (2, False), (2, True)]:
+        H_z, _ = z._halos(ns, residual)
+        nz, ny, nx = local
+        ext = rng.standard_normal((nz + 2 * H_z, ny, nx)).astype(np.float32)
+        rext = rng.standard_normal((nz + 2 * H_z, ny, nx)).astype(np.float32)
+        C = np.zeros((nz + 2 * H_z, ny, nx), np.float32)
+        C[:, 0, :] = 2.0
+        f_ext = z.zc_smooth_sharded_3d(
+            dq, local, ns, 0, interpret=True, residual=residual
+        )
+        f_hal = z.zc_smooth_sharded_3d(
+            dq, local, ns, 0, interpret=True, residual=residual,
+            halo_args=True,
+        )
+        assert f_ext is not None and f_hal is not None
+        a = f_ext(ext, rext, C)
+        b = f_hal(
+            ext[H_z:-H_z], ext[:H_z], ext[-H_z:],
+            rext[H_z:-H_z], rext[:H_z], rext[-H_z:],
+            C[H_z:-H_z], C[:H_z], C[-H_z:],
+        )
+        if residual:
+            assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+            assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        else:
+            assert np.array_equal(np.asarray(a), np.asarray(b))
