@@ -44,15 +44,24 @@ def main() -> None:
     mesh = make_multihost_mesh(("z", "y"))
     assert mesh.devices.shape == (nproc, ndev), mesh.devices.shape
 
-    nz, ny, nx = 8 * nproc, 8 * ndev, 20
+    # Size/depth/cycle knobs (defaults = the dryrun's tiny problem;
+    # scripts/multihost_512.py drives the 512^3 configuration through
+    # the same worker).
+    size = os.environ.get("NDSM_MH_SIZE")
+    if size:
+        nz, ny, nx = (int(v) for v in size.split(","))
+    else:
+        nz, ny, nx = 8 * nproc, 8 * ndev, 20
+    ngrids = int(os.environ.get("NDSM_MH_NGRIDS", "2")) or None
+    ncycles = int(os.environ.get("NDSM_MH_CYCLES", "3"))
     z = np.linspace(0.0, 1.0, nz)
     y = np.linspace(0.0, 1.0, ny)
     x = np.linspace(0.0, 1.0, nx)
-    h = GridHierarchy.from_mesh((z, y, x), ngrids=2)
+    h = GridHierarchy.from_mesh((z, y, x), ngrids=ngrids)
     sbvp = ShardedPoissonBVP(
         h,
         (("D", "D"), ("N", "N"), ("D", "D")),
-        Options(precision="mixed", ncycles_max=3, vc_tol=1e-30, niterex_max=40, mixed_inner_max=1),
+        Options(precision="mixed", ncycles_max=ncycles, vc_tol=1e-30, niterex_max=40, mixed_inner_max=1),
         mesh=mesh,
         axis_names=("z", "y"),
         min_rows_per_shard=2,

@@ -102,7 +102,19 @@ q_r5ab() {
   step zc_pass_256_r5 3000 python3 scripts/perf_zc_ns.py pass 256
 }
 
+q_r5perf() {
+  # Round-5 kernel landing measurements: single-shard overhead with the
+  # in-kernel halo-DMA path vs the extended-input path (same session),
+  # then the headline + 512^3 benches under the recalibrated width
+  # picker (width 2 on fine levels).
+  step shard1_halo 3600 python3 scripts/perf_shard1.py 256
+  step shard1_ext  3600 env NDSM_TPU_ZC_HALO_ARGS=0 python3 scripts/perf_shard1.py 256
+  step bench_220_r5 3400 env NDSM_BENCH_TIMEOUT=3300 python3 bench.py
+  step bench_512_r5 3400 env NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 python3 bench.py
+}
+
 case "$QUEUE" in
+  r5perf)   probe; q_r5perf ;;
   r5ab)     probe; q_r5ab ;;
   headline) probe; q_headline ;;
   r4)       probe; q_r4; q_headline ;;
