@@ -108,6 +108,41 @@ def main(n):
 
         kdiff("sharded kernel pass (ext + ns=2)", prog_pass)
 
+    fzh = eng._zc_sharded_fn(0, ns_star, halo_args=True)
+    if fzh is not None:
+        ax0, nm0 = eng.parts[0]
+        Hz = H[0]
+
+        def prog_edges(k):
+            def local(a, b):
+                def body(_, v):
+                    lo, hi = eng._edge_planes(v, ax0, nm0, Hz)
+                    return v + 0.0 * (
+                        jnp.sum(lo) + jnp.sum(hi)
+                    )  # keep them live
+
+                return lax.fori_loop(0, k, body, a)
+
+            return smwrap(local)(u, r)
+
+        kdiff("edge planes only (halo path)", prog_edges)
+
+        def prog_halo_pass(k):
+            def local(a, b):
+                C = eng._zc_mask_code(a.shape, 0)
+                c_lo, c_hi = eng._edge_planes(C, ax0, nm0, Hz)
+                r_lo, r_hi = eng._edge_planes(b, ax0, nm0, Hz)
+
+                def body(_, v):
+                    v_lo, v_hi = eng._edge_planes(v, ax0, nm0, Hz)
+                    return fzh(v, v_lo, v_hi, b, r_lo, r_hi, C, c_lo, c_hi)
+
+                return lax.fori_loop(0, k, body, a)
+
+            return smwrap(local)(u, r)
+
+        kdiff("halo-args kernel pass (ns=2)", prog_halo_pass)
+
     def prog_smooth(k):
         def local(a, b):
             # production entry points prime the mask-code cache before
@@ -122,7 +157,11 @@ def main(n):
 
         return smwrap(local)(u, r)
 
-    kdiff("sharded smooth ms=5 (primed C)", prog_smooth)
+    os.environ["NDSM_TPU_ZC_HALO_ARGS"] = "1"
+    kdiff("sharded smooth ms=5 (halo args)", prog_smooth)
+    os.environ["NDSM_TPU_ZC_HALO_ARGS"] = "0"
+    kdiff("sharded smooth ms=5 (ext inputs)", prog_smooth)
+    del os.environ["NDSM_TPU_ZC_HALO_ARGS"]
 
     def prog_smooth_unprimed(k):
         def local(a, b):
