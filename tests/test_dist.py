@@ -698,3 +698,42 @@ def test_zc_sharded_halo_args_kernel_bitwise():
             assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
         else:
             assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gspmd_checkpointed_resume_bitwise(tmp_path):
+    """solve_checkpointed on a GSPMD-sharded BVP (the 512^3 north-star
+    kill-and-resume configuration, scripts/multihost_512.py, scaled
+    down): an interrupted run resumed from its checkpoint reaches a
+    BITWISE-identical final iterate to the uninterrupted run."""
+    from ndsm_tpu.parallel.shard import ShardSpec
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    spec = ShardSpec(mesh=make_mesh(8), min_rows_per_shard=2)
+    opts = Options(precision="mixed", vc_tol=1e-30, niterex_max=40)
+    bvp = PoissonBVP(h, bcs, opts, shard_spec=spec)
+    rng = np.random.default_rng(11)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros((n, n, n))
+
+    from ndsm_tpu.utils.msgs import suppress_warnings
+
+    ck = str(tmp_path / "ck.npz")
+    with suppress_warnings():  # capped cycles: covfail is expected
+        # "interrupted" run: budget exhausted after 2 cycles, state on disk
+        bvp.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck, checkpoint_every=1, ncycles_max=2
+        )
+        # resume to the full budget
+        u_res, i_res = bvp.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck, checkpoint_every=1, ncycles_max=5
+        )
+        # uninterrupted reference
+        ck2 = str(tmp_path / "ck2.npz")
+        u_full, i_full = bvp.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck2, checkpoint_every=1, ncycles_max=5
+        )
+    assert i_res.cycles == i_full.cycles == 5
+    assert np.array_equal(np.asarray(u_res), np.asarray(u_full))
