@@ -577,6 +577,7 @@ class ShardedPoissonBVP(ShardStencilKernels):
             raise ValueError("the last array axis cannot be partitioned")
         self.parts: List[Tuple[int, str]] = list(enumerate(self.names))
         self.ndev: Dict[str, int] = {n: mesh.shape[n] for n in self.names}
+        self.min_rows_per_shard = int(min_rows_per_shard)
         self.mode = options.resolve_precision()
         self.compact_smoother = getattr(options, "smoother", "auto") != "masked"
         self.dtype = jnp.float32 if self.mode == "fp32" else jnp.float64
@@ -1618,6 +1619,125 @@ class ShardedPoissonBVP(ShardStencilKernels):
             cycles=int(it),
             name=name,
             coarse_noconv=bool(flag),
+        )
+        from ..mg.poisson import PoissonBVP
+
+        PoissonBVP._post_warnings([info])
+        return u, info
+
+    def _strict_sibling(self) -> "ShardedPoissonBVP":
+        """Same configuration with mixed_inner_max=1 (strict
+        one-V-cycle-per-defect groups) — the iterate sequence is then
+        independent of where a checkpoint chunk boundary falls, exactly
+        like PoissonBVP.solve_checkpointed's inner_max=1 pin."""
+        import dataclasses
+
+        if self.mode != "mixed" or int(
+            getattr(self.options, "mixed_inner_max", 6)
+        ) == 1:
+            return self
+        sb = getattr(self, "_strict_bvp", None)
+        if sb is None:
+            sb = ShardedPoissonBVP(
+                self.h,
+                self.bcs,
+                dataclasses.replace(self.options, mixed_inner_max=1),
+                mesh=self.mesh,
+                axis_names=self.names,
+                min_rows_per_shard=self.min_rows_per_shard,
+            )
+            self._strict_bvp = sb
+        return sb
+
+    def solve_checkpointed(
+        self,
+        u0,
+        rhs,
+        *,
+        checkpoint_path: str,
+        checkpoint_every: int = 32,
+        name: str = "",
+    ) -> Tuple[jax.Array, SolveInfo]:
+        """Resumable sharded solve (the distributed counterpart of
+        ``PoissonBVP.solve_checkpointed`` — the 1024^3 north-star
+        configuration runs the explicit engine, so long solves there
+        need the same kill-and-resume contract).  V-cycles run in
+        chunks of ``checkpoint_every`` with the global iterate written
+        atomically to ``checkpoint_path`` (.npz) between chunks; an
+        interrupted solve restarts from the last checkpoint with a
+        bitwise-identical iterate sequence (mixed mode pins strict
+        defect groups, see ``_strict_sibling``).
+
+        Multi-host: the global iterate is allgathered for the write
+        (one full-array broadcast per chunk — size the cadence
+        accordingly) and process 0 writes; on resume every process
+        reads the same path (shared filesystem, as for orbax)."""
+        import os as _os
+
+        from .multihost import put_global
+
+        sb = self._strict_sibling()
+        o = sb.options
+        vc_tol, ex_tol = o.vc_tol, o.ex_tol
+        nmax, nmax_exact = o.ncycles_max, o.niterex_max
+        multi = jax.process_count() > 1
+
+        u = np.asarray(u0, dtype=sb.dtype)
+        cycles_done = 0
+        du = float("inf")
+        if _os.path.exists(checkpoint_path):
+            ck = np.load(checkpoint_path)
+            if tuple(ck["shape"]) == tuple(sb.h.fine_shape):
+                u = np.asarray(ck["u"], dtype=sb.dtype)
+                cycles_done = int(ck["cycles"])
+                du = float(ck["du"])
+        u = put_global(u, sb.sharding)
+        rhs_g = put_global(np.asarray(rhs, dtype=sb.dtype), sb.sharding)
+
+        from ..options import IERR_COVFAIL, IERR_SUCCESS
+
+        ierr = IERR_COVFAIL
+        coarse_noconv = False
+        while cycles_done < nmax:
+            if du < vc_tol:
+                ierr = IERR_SUCCESS
+                break
+            chunk = min(int(checkpoint_every), nmax - cycles_done)
+            u, du_j, it_j, _, flag = sb._solve_jit(
+                u,
+                rhs_g,
+                jnp.asarray(vc_tol, jnp.float64),
+                jnp.asarray(ex_tol, jnp.float64),
+                jnp.int32(chunk),
+                jnp.int32(nmax_exact),
+            )
+            du = float(du_j)
+            cycles_done += int(it_j)
+            coarse_noconv = coarse_noconv or bool(flag)
+            if multi:
+                from jax.experimental import multihost_utils
+
+                u_host = np.asarray(multihost_utils.process_allgather(u))
+            else:
+                u_host = np.asarray(u)
+            if jax.process_index() == 0:
+                tmp = checkpoint_path + ".tmp.npz"
+                np.savez(
+                    tmp,
+                    u=u_host,
+                    cycles=cycles_done,
+                    du=du,
+                    shape=np.asarray(sb.h.fine_shape),
+                )
+                _os.replace(tmp, checkpoint_path)
+        if du < vc_tol:
+            ierr = IERR_SUCCESS
+        info = SolveInfo(
+            ierr=ierr,
+            du_last=du,
+            cycles=cycles_done,
+            name=name,
+            coarse_noconv=coarse_noconv,
         )
         from ..mg.poisson import PoissonBVP
 

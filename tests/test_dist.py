@@ -737,3 +737,52 @@ def test_gspmd_checkpointed_resume_bitwise(tmp_path):
         )
     assert i_res.cycles == i_full.cycles == 5
     assert np.array_equal(np.asarray(u_res), np.asarray(u_full))
+
+
+def test_sharded_engine_checkpointed_resume(tmp_path):
+    """ShardedPoissonBVP.solve_checkpointed (explicit shard_map engine):
+    interrupt + resume is bitwise the uninterrupted run, and the final
+    iterate matches the strict-mode plain solve."""
+    import dataclasses
+
+    from ndsm_tpu.parallel.sm_engine import ShardedPoissonBVP
+    from ndsm_tpu.utils.msgs import suppress_warnings
+
+    n = 32
+    x = np.linspace(0, 1, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    opts = Options(precision="mixed", vc_tol=1e-8)
+    sb = ShardedPoissonBVP(h, bcs, opts, mesh=make_mesh(8), min_rows_per_shard=2)
+    rng = np.random.default_rng(3)
+    rhs = rng.standard_normal((n, n, n))
+    u0 = np.zeros((n, n, n))
+
+    ck = str(tmp_path / "sck.npz")
+    with suppress_warnings():
+        # interrupted: cap the budget to 3 cycles via a sibling with
+        # small ncycles_max (same strict iterate sequence)
+        sb_short = ShardedPoissonBVP(
+            h, bcs, dataclasses.replace(opts, ncycles_max=3),
+            mesh=make_mesh(8), min_rows_per_shard=2,
+        )
+        sb_short.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck, checkpoint_every=1
+        )
+        # resume to convergence from the cycle-3 state
+        u_res, i_res = sb.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck, checkpoint_every=2
+        )
+        # uninterrupted
+        ck2 = str(tmp_path / "sck2.npz")
+        u_full, i_full = sb.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck2, checkpoint_every=4
+        )
+    assert i_res.ierr == 0 and i_full.ierr == 0
+    assert i_res.cycles == i_full.cycles
+    assert np.array_equal(np.asarray(u_res), np.asarray(u_full))
+    # matches the plain strict solve too
+    strict = sb._strict_sibling()
+    u_ref, i_ref = strict.solve(u0, rhs)
+    assert i_ref.cycles == i_full.cycles
+    assert np.array_equal(np.asarray(u_full), np.asarray(u_ref))
