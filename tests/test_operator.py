@@ -301,3 +301,37 @@ def test_helmholtz_history_and_info():
     hist = np.asarray(info.du_history)
     assert np.isfinite(hist[: info.cycles]).all()
     assert hist[info.cycles - 1] < 1e-10
+
+
+def test_helmholtz_gspmd_sharded():
+    """Operator injection composes with GSPMD sharding: the sharded
+    Helmholtz solve equals the unsharded one (XLA inserts the
+    collectives around the injected relax/residual)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 (virtual) devices")
+    from ndsm_tpu.parallel.shard import ShardSpec, make_mesh
+
+    n = 32
+    c = 2.2
+    x = np.linspace(0.0, 1.0, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rhs = _rand((n, n, n), 12)
+    opts = Options(precision="fp64", vc_tol=1e-10)
+    op = HelmholtzOperator(c)
+    u_ref, i_ref = PoissonBVP(h, bcs, opts, operator=op).solve(
+        np.zeros_like(rhs), rhs
+    )
+    spec = ShardSpec(mesh=make_mesh(8), min_rows_per_shard=2)
+    u_sh, i_sh = PoissonBVP(h, bcs, opts, shard_spec=spec, operator=op).solve(
+        np.zeros_like(rhs), rhs
+    )
+    assert i_sh.ierr == 0
+    assert i_sh.cycles == i_ref.cycles
+    np.testing.assert_allclose(
+        np.asarray(u_sh), np.asarray(u_ref), rtol=0, atol=1e-11
+    )
