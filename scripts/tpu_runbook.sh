@@ -120,6 +120,7 @@ case "$QUEUE" in
   r4)       probe; q_r4; q_headline ;;
   perf)     probe; q_perf ;;
   widths)   probe; q_widths ;;
+  digits)   probe; q_digits ;;
   r8)       probe; q_widths; q_headline
             step bench_512 3400 env NDSM_BENCH_TIMEOUT=3300 NDSM_BENCH_N=512 python3 bench.py ;;
   reduced)  probe; q_perf; q_headline ;;
