@@ -32,7 +32,7 @@ SCALEFAC = [1.0, 1.5, 2.0, 4.0, 5.5, 10.0, 15.0, 20.0, 25.0]
 NSHAPE_BASE = np.array([27, 36])
 
 
-def solve_case(nshape, a1, b1, Lx=1.0):
+def solve_case(nshape, a1, b1, Lx=1.0, dump=None):
     """[dx, Emax, Eavg] for one resolution (solve_test_case,
     unit_test_2D_solve.f90:126-230)."""
     from ndsm_tpu import GridHierarchy, Options
@@ -56,6 +56,12 @@ def solve_case(nshape, a1, b1, Lx=1.0):
     if info.ierr != 0:
         print("ERROR: FAILED TO CONVERGE", file=sys.stderr)
     u = np.asarray(u)
+    if dump:
+        # raw solution dump (reference ``filedump`` -> dump.dat,
+        # unit_test_2D_solve.f90:231-238: nshape, u, ue) — .npz instead
+        # of Fortran unformatted records
+        print("Dumping to file:", dump)
+        np.savez(dump, nshape=np.asarray(nshape), u=u, ue=ue)
     diff = (u - u.mean()) - (ue - ue.mean())
     return [dx, np.abs(diff).max(), np.abs(diff).mean()], info
 
@@ -65,6 +71,11 @@ def main():
     ap.add_argument("-o", "--output", default="unit_test_2D_solve.pdf")
     ap.add_argument("--data", default="res.txt")
     ap.add_argument("--quick", action="store_true", help="first 4 sizes only")
+    ap.add_argument(
+        "--dump", default=None, metavar="FILE",
+        help="write the finest case's raw u/ue arrays to FILE.npz "
+        "(the reference's optional dump.dat)",
+    )
     args = ap.parse_args()
 
     rng = np.random.default_rng(2112)  # seed role as in the reference
@@ -77,7 +88,9 @@ def main():
     for s in facs:
         nshape = np.ceil(NSHAPE_BASE * s).astype(int)
         t0 = time.perf_counter()
-        res, info = solve_case(nshape, a1, b1)
+        res, info = solve_case(
+            nshape, a1, b1, dump=(args.dump if s == facs[-1] else None)
+        )
         rows.append(res)
         print(
             f"  {nshape[0]}x{nshape[1]}: dx={res[0]:.4g} Emax={res[1]:.4g} "
