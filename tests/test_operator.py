@@ -335,3 +335,28 @@ def test_helmholtz_gspmd_sharded():
     np.testing.assert_allclose(
         np.asarray(u_sh), np.asarray(u_ref), rtol=0, atol=1e-11
     )
+
+
+def test_helmholtz_4d_dense_oracle():
+    """The injected operator is N-D generic like the engine (reference
+    generic relax/residual, ndsm_poisson.f90:451,280): 4D Helmholtz
+    solve vs the dense inverse."""
+    n = 7
+    c = 1.3
+    x = np.linspace(0.0, 1.0, n)
+    bcs = (("D", "D"), ("N", "N"), ("D", "N"), ("D", "D"))
+    rhs = _rand((n, n, n, n), 21)
+    h = GridHierarchy.from_mesh((x, x, x, x), ngrids=2)
+    bvp = PoissonBVP(
+        h, bcs, Options(precision="fp64", vc_tol=1e-11),
+        operator=HelmholtzOperator(c),
+    )
+    u, info = bvp.solve(np.zeros_like(rhs), rhs)
+    assert info.ierr == 0
+    dq = [x[1] - x[0]] * 4
+    S, int_mask = build_coarse_solver_matrix((n,) * 4, dq, bcs, diag_shift=-c)
+    u_dense = np.zeros(n**4)
+    u_dense[int_mask] = S @ rhs.ravel()[int_mask]
+    np.testing.assert_allclose(
+        np.asarray(u).ravel(), u_dense, rtol=0, atol=1e-9
+    )
