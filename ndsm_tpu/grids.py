@@ -43,23 +43,39 @@ _UNIFORM_RTOL = 1e-8
 
 
 def mesh_uniformity_error(m: np.ndarray) -> float | None:
-    """None if ``m`` is uniformly spaced (within ``_UNIFORM_RTOL`` of the
-    mean spacing, scale-tied); else the max absolute spacing deviation.
+    """None if ``m`` is uniformly spaced (within tolerance); else the
+    max absolute spacing deviation.
 
     The whole solver stack assumes per-axis uniform spacing — the
     transfer matrices (ops/transfer.py), the stencil weights, and the
     reference itself (ndsm_interp.f90:373 ``find_bracket_points_uniform``,
     ndsm_vector_potential.f90:201-221 ``dq = q(2)-q(1)``).  A non-uniform
     mesh is the one input error that corrupts results instead of
-    crashing, so it is validated at every construction boundary."""
+    crashing, so it is validated at every construction boundary.
+
+    The tolerance has two terms: ``_UNIFORM_RTOL`` of the mean spacing,
+    plus the rounding jitter a uniform mesh *represented in the input's
+    own dtype* necessarily carries — ``8*eps(dtype)*max|m|`` (a float32
+    linspace on [0,1] deviates by ~eps32*|m| ≈ 4e-8, far above any
+    dq-relative tolerance; similarly f64 meshes whose offset dwarfs
+    their span).  Grading below that floor is sub-representable in the
+    input precision and cannot be meant."""
+    m = np.asarray(m)
+    eps = (
+        float(np.finfo(m.dtype).eps)
+        if np.issubdtype(m.dtype, np.floating)
+        else float(np.finfo(np.float64).eps)
+    )
+    scale = float(np.abs(np.asarray(m, dtype=np.float64)).max())
     d = np.diff(np.asarray(m, dtype=np.float64))
     dq = (float(m[-1]) - float(m[0])) / (m.size - 1)
+    tol = max(_UNIFORM_RTOL * abs(dq), 8.0 * eps * scale)
     if dq == 0.0:
-        # zero-extent mesh: uniform only if every spacing is exactly 0
+        # zero-extent mesh: uniform only if every spacing is ~0
         err = float(np.abs(d).max())
-        return err if err > 0.0 else None
+        return err if err > tol else None
     err = float(np.abs(d - dq).max())
-    if err <= _UNIFORM_RTOL * abs(dq):
+    if err <= tol:
         return None
     return err
 
@@ -117,12 +133,26 @@ class GridHierarchy:
         finest mesh is taken verbatim; each coarser mesh is a uniform
         linspace over the finest extent with ``max(floor(n/2),1)`` points.
         """
+        meshes_in = [np.asarray(m) for m in meshes]  # original dtype
         meshes = [np.asarray(m, dtype=np.float64) for m in meshes]
         ndim = len(meshes)
         for i, m in enumerate(meshes):
             if m.ndim != 1 or m.size < 2:
                 raise ValueError(f"mesh vector {i} must be 1-D with >= 2 points")
-            err = mesh_uniformity_error(m)
+            # validate on the ORIGINAL input: its dtype sets the
+            # representable-jitter floor (see mesh_uniformity_error)
+            err = mesh_uniformity_error(meshes_in[i])
+            if err is None and meshes_in[i].dtype != np.float64:
+                # narrow-dtype input (e.g. float32): its f64 copy still
+                # carries ~eps(dtype)*|m| spacing jitter, which the
+                # stencil/transfer math would faithfully amplify —
+                # regenerate the exactly-uniform f64 mesh over the same
+                # extent (within the input's own precision this is the
+                # same mesh).  float64 inputs pass through untouched
+                # (golden-digit paths see bit-identical meshes).
+                meshes[i] = _uniform_mesh(
+                    float(meshes[i][0]), float(meshes[i][-1]), m.size
+                )
             if err is not None:
                 raise ValueError(
                     f"mesh vector {i} is not uniformly spaced "

@@ -719,19 +719,35 @@ class PoissonBVP:
     def _pallas_active(self) -> bool:
         return getattr(self._inner, "use_pallas", "off") != "off"
 
-    @staticmethod
-    def _is_kernel_compile_error(e: Exception) -> bool:
+    #: transient backend/transport failures: retrying on the XLA path
+    #: would not help (the fallback itself needs compiles through the
+    #: same backend) and would double the outage cost while replacing
+    #: the original diagnostic.
+    _TRANSIENT_MARKERS = (
+        "Unavailable",
+        "UNAVAILABLE",
+        "DEADLINE",
+        "read body",
+        "connection",
+        "Connection",
+    )
+
+    @classmethod
+    def _is_kernel_compile_error(cls, e: Exception) -> bool:
         """Kernel-stack failures worth one retry on the XLA smoother.
 
         Typed check first (VERDICT r4: substring matching is fragile
         across toolchains): Mosaic lowering / VMEM exhaustion surface
-        as ``jax.errors.JaxRuntimeError`` from the backend compile, so
-        any such error while the Pallas stack is active takes the
-        fallback — a genuine non-kernel failure simply re-raises from
-        the fallback solve (one cheap retrace, nothing has executed).
-        The substring match is kept for toolchains that wrap the
-        failure in a plain RuntimeError (the axon remote-compile
-        helper does)."""
+        as ``jax.errors.JaxRuntimeError`` from the backend compile.
+        But JaxRuntimeError also covers EXECUTION-time failures
+        (backend outage, transfer errors) where a fallback rebuild
+        would re-fail after minutes of extra compiles — those transient
+        markers are excluded and re-raise immediately.  The substring
+        match is kept for toolchains that wrap the failure in a plain
+        RuntimeError (the axon remote-compile helper does)."""
+        s = str(e)
+        if any(k in s for k in cls._TRANSIENT_MARKERS):
+            return False
         try:
             from jax.errors import JaxRuntimeError
 
@@ -739,7 +755,6 @@ class PoissonBVP:
                 return True
         except ImportError:  # pragma: no cover - very old jax
             pass
-        s = str(e)
         return any(
             k in s
             for k in ("Mosaic", "remote_compile", "vmem", "RESOURCE_EXHAUSTED")

@@ -1013,12 +1013,11 @@ def _zc_sharded_kernel(
         z_last = i32(nz // tz - 1)
 
         def _sy_halo(jj):
-            return pl.multiple_of(
-                jnp.minimum(
-                    jnp.maximum(jj * i32(ty) - i32(H_y), 0), i32(ny - W_y)
-                ),
-                8,
-            )
+            # same clamp as the extended fetch (halo_args implies
+            # ext_y=False, so window_starts' y rule applies verbatim —
+            # one shared implementation keeps the byte-identical-window
+            # invariant between the two fetch paths)
+            return window_starts(i32(0), jj)[1]
 
         def fetch_halo_start(slot, ii, jj):
             ysl = pl.ds(_sy_halo(jj), W_y)

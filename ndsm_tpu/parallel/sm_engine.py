@@ -394,25 +394,57 @@ class ShardStencilKernels:
         halo = self._halo_args_ok()
         for level in range(self.seam):
             shape = self._local_shape(level)
-            for n in {ns_star, rem} - {0}:
-                if halo and self._zc_sharded_fn(
-                    level, n, halo_args=True
-                ) is not None:
-                    self._c_halo_cached(shape, level, pallas_zc._halos(n)[0])
-                elif self._zc_sharded_fn(level, n) is not None:
-                    self._c_ext_cached(shape, level, self._H_map(n))
-            if halo and self._zc_sharded_res_fn(
-                level, last, halo_args=True
-            ) is not None:
+            # Mirror the _smooth dispatch exactly: the halo path is
+            # taken iff the main-width halo kernel exists; its
+            # remainder prefers the halo rem kernel, then the ext rem
+            # kernel (see _smooth_zc_halo).  A mismatch here leaves a
+            # mask-code variant unprimed and rebuilt inside the cycle
+            # while_loop every cycle (the measured r4 overhead).
+            halo_smooth = (
+                halo
+                and self._zc_sharded_fn(level, ns_star, halo_args=True)
+                is not None
+            )
+            if halo_smooth:
+                self._c_halo_cached(
+                    shape, level, pallas_zc._halos(ns_star)[0]
+                )
+                if rem:
+                    if self._zc_sharded_fn(
+                        level, rem, halo_args=True
+                    ) is not None:
+                        self._c_halo_cached(
+                            shape, level, pallas_zc._halos(rem)[0]
+                        )
+                    elif self._zc_sharded_fn(level, rem) is not None:
+                        self._c_ext_cached(shape, level, self._H_map(rem))
+            else:
+                for n in {ns_star, rem} - {0}:
+                    if self._zc_sharded_fn(level, n) is not None:
+                        self._c_ext_cached(shape, level, self._H_map(n))
+            # Mirror the _smooth_residual_sh dispatch: the halo branch
+            # needs BOTH halo kernels; otherwise the ext branch needs
+            # both ext kernels — and its head smoothing runs the EXT
+            # chain, so prime that C too.
+            halo_res = (
+                halo_smooth
+                and self._zc_sharded_res_fn(level, last, halo_args=True)
+                is not None
+            )
+            if halo_res:
                 self._c_halo_cached(
                     shape, level, pallas_zc._halos(last, True)[0]
                 )
-            elif self._zc_sharded_res_fn(level, last) is not None:
+            elif (
+                self._zc_sharded_fn(level, ns_star) is not None
+                and self._zc_sharded_res_fn(level, last) is not None
+            ):
                 H_z, H_y = pallas_zc._halos(last, True)
                 H = {0: H_z}
                 if len(self.names) > 1:
                     H[1] = H_y
                 self._c_ext_cached(shape, level, H)
+                self._c_ext_cached(shape, level, self._H_map(ns_star))
 
     # -- masked sweep / residual ---------------------------------------
 
@@ -909,6 +941,18 @@ class ShardedPoissonBVP(ShardStencilKernels):
                 rl, rh = self._edge_planes(rhs, ax, nm, Hr)
                 u_lo, u_hi = self._edge_planes(u, ax, nm, Hr)
                 u = frh(u, u_lo, u_hi, rhs, rl, rh, Cr, crl, crh)
+                return u
+            # the halo picker needs tz >= H_z; when that rules the
+            # remainder width out, the ext-input kernel (same sweeps,
+            # bitwise) is still preferable to a masked XLA pass
+            fre = self._zc_sharded_fn(level, rem)
+            if fre is not None:
+                Hr_map = self._H_map(rem)
+                u = fre(
+                    self._extend_block(u, level, Hr_map),
+                    self._extend_block(rhs, level, Hr_map),
+                    self._c_ext_cached(u.shape, level, Hr_map),
+                )
             else:
                 body = lambda _, v: self._sharded_sweep(v, rhs, level)  # noqa: E731
                 u = lax.fori_loop(0, rem, body, u)

@@ -149,6 +149,7 @@ def compute_vector_potential(
         phases[name] = phases.get(name, 0.0) + (now - _t_last[0])
         _t_last[0] = now
 
+    mesh_in = tuple(np.asarray(m) for m in meshes)  # original dtype
     x, y, z = (np.asarray(m, dtype=np.float64) for m in meshes)
     mesh_xyz = (x, y, z)
     mode = options.resolve_precision()
@@ -179,9 +180,22 @@ def compute_vector_potential(
         # Non-uniform spacing is the one input error that corrupts
         # results instead of crashing (every dq below is m[1]-m[0];
         # VERDICT r4 weak #4) — flag it like the reference flags a
-        # too-small mesh.
-        if mesh_uniformity_error(m) is not None:
+        # too-small mesh.  Checked on the ORIGINAL input, whose dtype
+        # sets the representable-jitter floor (f32 meshes are fine).
+        if mesh_uniformity_error(mesh_in[i]) is not None:
             return _badmesh_return()
+    # Narrow-dtype meshes (e.g. float32) pass validation but their f64
+    # copies still carry ~eps(dtype)*|m| jitter; regenerate them as
+    # exactly-uniform f64 over the same extent (identical within the
+    # input's own precision; f64 inputs stay bit-identical — the
+    # golden-digit paths).  GridHierarchy.from_mesh does the same.
+    x, y, z = (
+        m
+        if mi.dtype == np.float64
+        else np.linspace(float(m[0]), float(m[-1]), m.size)
+        for mi, m in zip(mesh_in, mesh_xyz)
+    )
+    mesh_xyz = (x, y, z)
     b = np.asarray(b)
     nz, ny, nx = len(z), len(y), len(x)
     if b.shape != (3, nz, ny, nx):

@@ -217,3 +217,28 @@ def test_input_b_never_mutated():
     b_before = b.copy()
     vector_potential(x, x, x, b, precision="fp32", vc_tol=1e-4)
     assert np.array_equal(b, b_before)
+
+
+def test_float32_mesh_accepted():
+    """Review r5: a perfectly uniform float32 mesh carries ~eps32*|m|
+    spacing jitter — far above any dq-relative tolerance — and must NOT
+    be rejected by the uniformity gate (the tolerance floor follows the
+    input dtype's representable jitter)."""
+    from ndsm_tpu import GridHierarchy
+
+    n = 20
+    x32 = np.linspace(0, 1, n, dtype=np.float32)
+    GridHierarchy.from_mesh((x32, x32, x32))  # must not raise
+    # offset-dominated f64 mesh: jitter ~ eps64*offset >> rtol*dq
+    xoff = np.linspace(1e6, 1e6 + 1.0, n)
+    GridHierarchy.from_mesh((xoff, xoff, xoff))  # must not raise
+    b = np.arange(3 * n**3, dtype=float).reshape(3, n, n, n)
+    ierr, _, _ = vector_potential(
+        x32, x32, x32, b, options=Options(ncycles_max=1)
+    )
+    assert ierr != 2  # not IERR_BADMESH
+    # while a genuinely graded f32 mesh is still caught
+    bad = x32.copy()
+    bad[7] += np.float32(0.04)
+    ierr2, _, _ = vector_potential(bad, x32, x32, b)
+    assert ierr2 == 2
