@@ -57,11 +57,11 @@ def _pallas_min_points() -> int:
 def _pallas_nsweeps(shape=None) -> int:
     """Sweeps fused per Pallas HBM pass.  Env NDSM_TPU_PALLAS_NSWEEPS
     pins a global width; otherwise the width is chosen PER LEVEL by
-    ops/pallas_zc.auto_pass_width (deepest width whose tile fraction
-    stays >= the measured 0.4 crossover — width 4 at 256^3, 2 at 512^3,
-    5+ on window-capped coarse levels).  ``shape=None`` (the sharded
+    ops/pallas_zc.auto_pass_width (round-5 calibration: 2 on fine
+    production levels, deeper only where the tile fraction is >= 0.6 —
+    the window-capped coarse levels).  ``shape=None`` (the sharded
     engine's local blocks, whose fractions follow the sharded picker)
-    keeps the historical fixed default of 2."""
+    keeps the fixed default of 2."""
     import os
 
     env = os.environ.get("NDSM_TPU_PALLAS_NSWEEPS")
