@@ -75,4 +75,4 @@ __all__ = [
     "IERR_BADMESH",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
