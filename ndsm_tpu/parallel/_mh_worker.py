@@ -69,7 +69,15 @@ def main() -> None:
     rng = np.random.default_rng(7)
     u0 = np.zeros((nz, ny, nx))
     rhs = rng.standard_normal((nz, ny, nx))
-    u, info = sbvp.solve(u0, rhs)
+    ck = os.environ.get("NDSM_MH_CKPT")
+    if ck:
+        # exercise the multihost branch of solve_checkpointed
+        # (process-0 allgather write; shared-filesystem resume)
+        u, info = sbvp.solve_checkpointed(
+            u0, rhs, checkpoint_path=ck, checkpoint_every=1
+        )
+    else:
+        u, info = sbvp.solve(u0, rhs)
     # Checksum via a replicated reduction every process can compute.
     import jax.numpy as jnp
 

@@ -1761,7 +1761,11 @@ class ShardedPoissonBVP(ShardStencilKernels):
             if multi:
                 from jax.experimental import multihost_utils
 
-                u_host = np.asarray(multihost_utils.process_allgather(u))
+                # tiled=True: concatenate shards back into the global
+                # shape (required for non-fully-addressable arrays)
+                u_host = np.asarray(
+                    multihost_utils.process_allgather(u, tiled=True)
+                )
             else:
                 u_host = np.asarray(u)
             if jax.process_index() == 0:

@@ -43,7 +43,8 @@ def _cpu_env(ndev=None):
     return env
 
 
-def run_mh(n: int, nproc: int = 2, ndev: int = 4, cycles: int = 2) -> None:
+def run_mh(n: int, nproc: int = 2, ndev: int = 4, cycles: int = 2,
+           ckpt: str | None = None) -> None:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -58,6 +59,8 @@ def run_mh(n: int, nproc: int = 2, ndev: int = 4, cycles: int = 2) -> None:
             "NDSM_MH_CYCLES": str(cycles),
         }
     )
+    if ckpt:
+        env_common["NDSM_MH_CKPT"] = ckpt
     t0 = time.time()
     procs = []
     for pid in range(nproc):
@@ -232,11 +235,21 @@ def run_kill(n: int, cycles: int = 3) -> None:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("stage", nargs="?", default="all",
-                    choices=["mh", "kill", "all"])
+                    choices=["mh", "kill", "all", "mh-ck"])
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--cycles", type=int, default=2)
     args = ap.parse_args()
     if args.stage in ("mh", "all"):
         run_mh(args.n, cycles=args.cycles)
+    if args.stage == "mh-ck":
+        # multihost solve_checkpointed: same checksum contract, plus a
+        # resume pass that must do 0 further cycles
+        import tempfile
+
+        ck = os.path.join(tempfile.mkdtemp(), "mhck.npz")
+        run_mh(args.n, cycles=args.cycles, ckpt=ck)
+        print("mh-ck: checkpointed multihost run matched; resume check...")
+        run_mh(args.n, cycles=args.cycles, ckpt=ck)
+        print("MH_CK_OK")
     if args.stage in ("kill", "all"):
         run_kill(args.n, cycles=max(3, args.cycles + 1))
