@@ -56,6 +56,14 @@ Contract for implementers:
 
 Instances must be hashable and comparable by value — use frozen
 dataclasses (both built-ins here are).
+
+Distribution: injected operators compose with the GSPMD path
+(``PoissonBVP(shard_spec=...)`` — XLA partitions the operator's ops
+and inserts the collectives; tested on an 8-device mesh).  The
+explicit shard_map engine (parallel/sm_engine.py) is
+Poisson-specialized (hand-placed halos encode the 7-point stencil
+radius) and does not take operators; its reference counterpart — the
+OpenMP loops — is equally Poisson-bound there.
 """
 
 from __future__ import annotations

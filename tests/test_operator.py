@@ -360,3 +360,35 @@ def test_helmholtz_4d_dense_oracle():
     np.testing.assert_allclose(
         np.asarray(u).ravel(), u_dense, rtol=0, atol=1e-9
     )
+
+
+def test_helmholtz_checkpointed_resume(tmp_path):
+    """solve_checkpointed composes with an injected operator (the
+    resumable-solve contract holds for non-Poisson problems too)."""
+    n = 17
+    c = 2.0
+    x = np.linspace(0.0, 1.0, n)
+    bcs = (("D", "D"),) * 3
+    rhs = _rand((n, n, n), 30)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bvp = PoissonBVP(
+        h, bcs, Options(precision="mixed", vc_tol=1e-10),
+        operator=HelmholtzOperator(c),
+    )
+    u_ref, i_ref = bvp.solve(np.zeros_like(rhs), rhs)
+    ck = str(tmp_path / "hck.npz")
+    u_ck, i_ck = bvp.solve_checkpointed(
+        np.zeros_like(rhs), rhs, checkpoint_path=ck, checkpoint_every=2
+    )
+    assert i_ck.ierr == 0
+    # strict-group checkpointing vs default-group solve: same solution
+    # to solver tolerance
+    np.testing.assert_allclose(
+        np.asarray(u_ck), np.asarray(u_ref), rtol=0, atol=1e-9
+    )
+    # resume: already converged, no further cycles
+    u2, i2 = bvp.solve_checkpointed(
+        np.zeros_like(rhs), rhs, checkpoint_path=ck, checkpoint_every=2
+    )
+    assert i2.cycles == i_ck.cycles
+    assert np.array_equal(np.asarray(u2), np.asarray(u_ck))
