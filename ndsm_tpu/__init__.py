@@ -53,6 +53,7 @@ from .mg.operator import (  # noqa: E402
     MGOperator,
     PoissonOperator,
     HelmholtzOperator,
+    DiffusionOperator,
 )
 from .potential.vector_potential import compute_vector_potential  # noqa: E402
 from .api import vector_potential  # noqa: E402
@@ -65,6 +66,7 @@ __all__ = [
     "MGOperator",
     "PoissonOperator",
     "HelmholtzOperator",
+    "DiffusionOperator",
     "GridHierarchy",
     "Options",
     "SolveInfo",

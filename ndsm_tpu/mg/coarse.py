@@ -31,7 +31,7 @@ import numpy as np
 
 from ..ops.stencils import BCS
 
-__all__ = ["build_coarse_solver_matrix"]
+__all__ = ["build_coarse_solver_matrix", "build_coarse_matrix_from_operator"]
 
 
 def build_coarse_solver_matrix(
@@ -98,6 +98,71 @@ def build_coarse_solver_matrix(
 
     all_n = all(tuple(b) == ("N", "N") for b in bcs) and diag_shift == 0.0
     if all_n:
+        S = np.linalg.pinv(A, rcond=1e-12)
+    else:
+        S = np.linalg.inv(A)
+    return S, int_flat
+
+
+def build_coarse_matrix_from_operator(
+    operator, shape: Tuple[int, ...], dq: Sequence[float], bcs: BCS
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generic (solve_matrix, interior_mask_flat) assembly for ANY
+    injected :class:`~ndsm_tpu.mg.operator.MGOperator` — probe the
+    operator's own ``residual`` with basis vectors.
+
+    ``residual(e_j, 0) = -L e_j`` (zeroed on Dirichlet faces), so the
+    columns of L come straight from the operator's traceable definition
+    — no per-operator stencil re-derivation, and assembly/solve
+    consistency is guaranteed by construction.  The reference has no
+    counterpart (its only coarse solve is relax-to-ex_tol,
+    ndsm_multigrid_core.f90:728-800); this is the TPU engine's
+    one-matvec coarse solve made available to every custom operator,
+    not just the built-ins with hand-assembled matrices.
+
+    Singular operators (``operator.is_singular(bcs)``) get the
+    pseudo-inverse, matching the zero-mean relax limit as in
+    :func:`build_coarse_solver_matrix`.
+
+    Probing is chunked (``vmap`` over <=512 basis vectors at a time) so
+    peak memory stays ~512 * prod(shape) doubles even when a test
+    assembles a fine-grid oracle matrix.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ndim = len(shape)
+    n = int(np.prod(shape))
+    interior = np.ones(shape, dtype=bool)
+    for ax in range(ndim):
+        sl = [slice(None)] * ndim
+        if bcs[ax][0] == "D":
+            sl[ax] = 0
+            interior[tuple(sl)] = False
+        if bcs[ax][1] == "D":
+            sl[ax] = shape[ax] - 1
+            interior[tuple(sl)] = False
+    int_flat = interior.ravel()
+
+    dq_j = jnp.asarray(np.asarray(dq, dtype=np.float64))
+    zero = jnp.zeros(shape, dtype=jnp.float64)
+
+    def _col(e_flat):
+        e = e_flat.reshape(shape)
+        return -operator.residual(e, zero, dq_j, bcs).ravel()
+
+    probe = jax.jit(jax.vmap(_col))
+    chunk = min(n, 512)
+    rows = []
+    for j0 in range(0, n, chunk):
+        m = min(chunk, n - j0)
+        E = np.zeros((chunk, n), dtype=np.float64)
+        E[np.arange(m), j0 + np.arange(m)] = 1.0
+        rows.append(np.asarray(probe(jnp.asarray(E)))[:m])
+    # rows[j] = L e_j  ->  stacking gives L^T
+    L = np.concatenate(rows, axis=0).T
+    A = L[int_flat][:, int_flat]
+    if operator.is_singular(bcs):
         S = np.linalg.pinv(A, rcond=1e-12)
     else:
         S = np.linalg.inv(A)

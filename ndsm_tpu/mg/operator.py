@@ -77,7 +77,12 @@ import jax.numpy as jnp
 from ..ops import stencils
 from ..ops.stencils import BCS
 
-__all__ = ["MGOperator", "PoissonOperator", "HelmholtzOperator"]
+__all__ = [
+    "MGOperator",
+    "PoissonOperator",
+    "HelmholtzOperator",
+    "DiffusionOperator",
+]
 
 
 class MGOperator:
@@ -167,6 +172,141 @@ class HelmholtzOperator(MGOperator):
 
     def is_singular(self, bcs):
         return self.c == 0.0 and stencils.is_all_neumann(bcs)
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionOperator(MGOperator):
+    """Variable-coefficient diffusion ``L[u] = div(a(q) grad u)`` —
+    the second non-Poisson client of the injection point, exercising
+    what :class:`HelmholtzOperator` cannot: per-level operator
+    *re-discretization* from spatially varying data (the reference's
+    wrappers re-read ``this%meshes(:,g_id)`` per level for exactly this
+    reason, ndsm_poisson.f90:163-276).
+
+    ``coef`` maps NORMALIZED per-axis coordinates (each in [0, 1] over
+    the domain, ``ndim`` broadcastable arrays in ``indexing='ij'``
+    order) to a strictly positive coefficient array.  Normalized
+    coordinates make the definition level-independent: every multigrid
+    level re-evaluates ``coef`` on its own nodes (coarse nodes are an
+    exact subset of fine nodes for the power-of-2-plus-1 hierarchies,
+    so the coarse coefficient is the injected fine one).
+
+    Discretization: standard second-order flux form with
+    arithmetic-mean face coefficients,
+
+      ``L[u]_i = sum_ax (a_{i+1/2}(u_{i+1}-u_i)
+                         - a_{i-1/2}(u_i-u_{i-1})) / dq_ax^2``,
+
+    red-black Gauss-Seidel relaxation solving pointwise
+    ``u_i = (sum_ax (a_lo u_lo + a_hi u_hi) w_ax - rhs_i) / den_i``
+    with ``den_i = sum_ax (a_lo + a_hi) w_ax``.  Boundary faces reuse
+    the engine's Neumann index reflection (ops/stencils._neighbors) for
+    both ``u`` and ``a`` — the mirrored half-coefficient at index 0 is
+    ``a_{1/2}``, exactly the image flux of the zero-normal-derivative
+    condition.  ``a == const`` reduces to ``const *`` the Poisson
+    stencil (and to the Poisson iterates exactly, since the relax
+    fixed-point equation is scale-invariant).
+
+    Like all-Neumann Poisson, the operator has the additive-constant
+    nullspace under all-Neumann BCs for ANY positive ``a``; the direct
+    coarse solve is assembled generically from the operator's own
+    residual (mg/coarse.build_coarse_matrix_from_operator).
+
+    ``coef`` is compared/hashed by identity (it keys the jit and engine
+    caches): reuse one function object per operator, as with any jitted
+    closure.
+    """
+
+    coef: object = None  # Callable[*norm_coords] -> positive array
+
+    def __post_init__(self):
+        if not callable(self.coef):
+            raise ValueError("DiffusionOperator needs coef=<callable>")
+
+    def relax(self, u, rhs, dq, bcs):
+        return _diffusion_relax(
+            u, rhs, jnp.asarray(dq), coef=self.coef, bcs=bcs,
+            singular=self.is_singular(bcs),
+        )
+
+    def residual(self, u, rhs, dq, bcs):
+        return _diffusion_residual(
+            u, rhs, jnp.asarray(dq), coef=self.coef, bcs=bcs
+        )
+
+    def coarse_matrix(self, shape, dq, bcs):
+        from .coarse import build_coarse_matrix_from_operator
+
+        return build_coarse_matrix_from_operator(self, shape, dq, bcs)
+
+    def is_singular(self, bcs):
+        return stencils.is_all_neumann(bcs)
+
+
+def _diffusion_halves(shape, coef, dtype):
+    """Face coefficients ``(a_lo, a_hi)`` per axis: evaluate ``coef`` on
+    the level's normalized node grid, then arithmetic-mean to the
+    half-points with the same index reflection as the stencil reads
+    (so the mirrored boundary half-coefficient matches the mirrored
+    neighbor)."""
+    coords = jnp.meshgrid(
+        *[jnp.linspace(0.0, 1.0, n, dtype=dtype) for n in shape],
+        indexing="ij",
+    )
+    a = jnp.broadcast_to(jnp.asarray(coef(*coords), dtype), shape)
+    halves = []
+    for ax in range(len(shape)):
+        lo, hi = stencils._neighbors(a, ax)
+        halves.append((0.5 * (a + lo), 0.5 * (a + hi)))
+    return halves
+
+
+def _diffusion_apply(u, halves, w):
+    """``L[u]`` in flux form (no masking)."""
+    out = None
+    for ax in range(u.ndim):
+        lo, hi = stencils._neighbors(u, ax)
+        alo, ahi = halves[ax]
+        term = (ahi * (hi - u) - alo * (u - lo)) * w[ax]
+        out = term if out is None else out + term
+    return out
+
+
+@partial(jax.jit, static_argnames=("coef", "bcs", "singular"))
+def _diffusion_relax(u, rhs, dq, *, coef, bcs, singular):
+    w = (1.0 / (dq * dq)).astype(u.dtype)
+    halves = _diffusion_halves(u.shape, coef, u.dtype)
+    den = None
+    for ax in range(u.ndim):
+        alo, ahi = halves[ax]
+        t = (alo + ahi) * w[ax]
+        den = t if den is None else den + t
+    interior = stencils._interior_mask(u.shape, bcs)
+    red = stencils.first_color_parity(bcs)
+    masks = (
+        stencils._parity_mask(u.shape, red) & interior,
+        stencils._parity_mask(u.shape, 1 - red) & interior,
+    )
+    for mask in masks:
+        num = None
+        for ax in range(u.ndim):
+            lo, hi = stencils._neighbors(u, ax)
+            alo, ahi = halves[ax]
+            t = (alo * lo + ahi * hi) * w[ax]
+            num = t if num is None else num + t
+        u = jnp.where(mask, (num - rhs) / den, u)
+    if singular:
+        u = stencils.subtract_mean(u)
+    return u
+
+
+@partial(jax.jit, static_argnames=("coef", "bcs"))
+def _diffusion_residual(u, rhs, dq, *, coef, bcs):
+    w = (1.0 / (dq * dq)).astype(u.dtype)
+    halves = _diffusion_halves(u.shape, coef, u.dtype)
+    r = rhs - _diffusion_apply(u, halves, w)
+    interior = stencils._interior_mask(u.shape, bcs)
+    return jnp.where(interior, r, jnp.zeros((), dtype=u.dtype))
 
 
 def _helmholtz_weights(dq, c, dtype):

@@ -17,6 +17,7 @@ import numpy as np
 import pytest
 
 from ndsm_tpu import (
+    DiffusionOperator,
     GridHierarchy,
     HelmholtzOperator,
     Options,
@@ -360,6 +361,255 @@ def test_helmholtz_4d_dense_oracle():
     np.testing.assert_allclose(
         np.asarray(u).ravel(), u_dense, rtol=0, atol=1e-9
     )
+
+
+# ----------------------------------------------------------------------
+# Variable-coefficient diffusion client (DiffusionOperator): per-level
+# re-discretization from spatially varying data — the capability the
+# reference's per-level wrapper re-reads of this%meshes exist for
+# (ndsm_poisson.f90:163-276).
+# ----------------------------------------------------------------------
+
+def _coef_smooth(*q):
+    """Strictly positive, smoothly varying test coefficient."""
+    import jax.numpy as _jnp
+
+    a = 1.0
+    for i, qi in enumerate(q):
+        a = a + 0.4 * _jnp.sin((1.3 + 0.7 * i) * qi + 0.2 * i)
+    return a
+
+
+def _coef_nodes_np(shape):
+    coords = np.meshgrid(
+        *[np.linspace(0.0, 1.0, n) for n in shape], indexing="ij"
+    )
+    a = 1.0
+    for i, qi in enumerate(coords):
+        a = a + 0.4 * np.sin((1.3 + 0.7 * i) * qi + 0.2 * i)
+    return a
+
+
+def _diffusion_relax_oracle(u, rhs, dq, bcs, a):
+    """Loop-level red-black flux-form relax for div(a grad u) = rhs."""
+    u = u.copy()
+    shape = u.shape
+    ndim = u.ndim
+    w = [1.0 / (d * d) for d in dq]
+    red = stencils.first_color_parity(tuple(tuple(b) for b in bcs))
+
+    def at_dirichlet(idx):
+        return any(
+            (idx[ax] == 0 and bcs[ax][0] == "D")
+            or (idx[ax] == shape[ax] - 1 and bcs[ax][1] == "D")
+            for ax in range(ndim)
+        )
+
+    for parity in (red, 1 - red):
+        for idx in itertools.product(*[range(n) for n in shape]):
+            if sum(idx) % 2 != parity or at_dirichlet(idx):
+                continue
+            num = 0.0
+            den = 0.0
+            for ax in range(ndim):
+                lo, hi = list(idx), list(idx)
+                lo[ax] = _reflect(idx[ax] - 1, shape[ax])
+                hi[ax] = _reflect(idx[ax] + 1, shape[ax])
+                alo = 0.5 * (a[idx] + a[tuple(lo)])
+                ahi = 0.5 * (a[idx] + a[tuple(hi)])
+                num += (alo * u[tuple(lo)] + ahi * u[tuple(hi)]) * w[ax]
+                den += (alo + ahi) * w[ax]
+            u[idx] = (num - rhs[idx]) / den
+    return u
+
+
+def _diffusion_residual_oracle(u, rhs, dq, bcs, a):
+    shape = u.shape
+    ndim = u.ndim
+    w = [1.0 / (d * d) for d in dq]
+    r = np.zeros_like(u)
+    for idx in itertools.product(*[range(n) for n in shape]):
+        if any(
+            (idx[ax] == 0 and bcs[ax][0] == "D")
+            or (idx[ax] == shape[ax] - 1 and bcs[ax][1] == "D")
+            for ax in range(ndim)
+        ):
+            continue
+        lu = 0.0
+        for ax in range(ndim):
+            lo, hi = list(idx), list(idx)
+            lo[ax] = _reflect(idx[ax] - 1, shape[ax])
+            hi[ax] = _reflect(idx[ax] + 1, shape[ax])
+            alo = 0.5 * (a[idx] + a[tuple(lo)])
+            ahi = 0.5 * (a[idx] + a[tuple(hi)])
+            lu += (
+                ahi * (u[tuple(hi)] - u[idx]) - alo * (u[idx] - u[tuple(lo)])
+            ) * w[ax]
+        r[idx] = rhs[idx] - lu
+    return r
+
+
+@pytest.mark.parametrize(
+    "shape,bcs",
+    [
+        ((6, 5, 7), (("D", "N"), ("N", "N"), ("D", "D"))),
+        ((9, 8), (("N", "N"), ("N", "D"))),
+    ],
+)
+def test_diffusion_relax_residual_oracle(shape, bcs):
+    dq = np.array([0.11, 0.09, 0.13][: len(shape)])
+    u = _rand(shape, 40)
+    rhs = _rand(shape, 41)
+    a = _coef_nodes_np(shape)
+    op = DiffusionOperator(_coef_smooth)
+    got = np.asarray(op.relax(u, rhs, dq, bcs))
+    want = _diffusion_relax_oracle(u, rhs, dq, bcs, a)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-13)
+    gotr = np.asarray(op.residual(u, rhs, dq, bcs))
+    wantr = _diffusion_residual_oracle(u, rhs, dq, bcs, a)
+    np.testing.assert_allclose(gotr, wantr, rtol=0, atol=5e-12)
+
+
+def test_diffusion_constant_coef_is_poisson():
+    """a == const: same fixed-point equation as Poisson (the const
+    cancels), so the solves must agree to solver tolerance."""
+    n = 17
+    x = np.linspace(0.0, 1.0, n)
+    bcs = (("D", "D"), ("N", "D"), ("D", "N"))
+    rhs = _rand((n, n, n), 42)
+    opts = Options(precision="fp64", vc_tol=1e-11)
+    u_p, i_p = solve_poisson_bvp(
+        np.zeros_like(rhs), rhs, (x, x, x), bcs, options=opts
+    )
+    u_d, i_d = solve_poisson_bvp(
+        np.zeros_like(rhs), rhs, (x, x, x), bcs, options=opts,
+        operator=DiffusionOperator(lambda *q: 3.25 + 0.0 * q[0]),
+    )
+    assert i_p.ierr == 0 and i_d.ierr == 0
+    # const*lap(u) = rhs  <=>  lap(u) = rhs/const: the diffusion solve
+    # is the Poisson one divided by the constant.
+    np.testing.assert_allclose(
+        3.25 * np.asarray(u_d), np.asarray(u_p), rtol=0, atol=1e-9
+    )
+
+
+def test_generic_coarse_assembly_matches_hand_assembly():
+    """build_coarse_matrix_from_operator probed on PoissonOperator must
+    reproduce the hand-assembled Poisson coarse matrix (both the
+    regular inverse and the all-Neumann pseudo-inverse branch)."""
+    from ndsm_tpu.mg.coarse import build_coarse_matrix_from_operator
+
+    dq = [0.125, 0.2, 0.11]
+    for bcs in [
+        (("D", "N"), ("N", "N"), ("D", "D")),
+        (("N", "N"), ("N", "N"), ("N", "N")),
+    ]:
+        S_hand, m_hand = build_coarse_solver_matrix((5, 6, 5), dq, bcs)
+        S_gen, m_gen = build_coarse_matrix_from_operator(
+            PoissonOperator(), (5, 6, 5), dq, bcs
+        )
+        assert np.array_equal(m_hand, m_gen)
+        np.testing.assert_allclose(S_gen, S_hand, rtol=0, atol=1e-9)
+
+
+def test_diffusion_dense_oracle_3d():
+    """Multigrid variable-coefficient solve vs the dense fine-grid
+    inverse assembled generically from the operator's own residual."""
+    from ndsm_tpu.mg.coarse import build_coarse_matrix_from_operator
+
+    n = 17
+    x = np.linspace(0.0, 1.0, n)
+    bcs = (("D", "N"), ("N", "D"), ("D", "D"))
+    rhs = _rand((n, n, n), 43)
+    op = DiffusionOperator(_coef_smooth)
+    u, info = solve_poisson_bvp(
+        np.zeros_like(rhs),
+        rhs,
+        (x, x, x),
+        bcs,
+        options=Options(precision="fp64", vc_tol=1e-11),
+        operator=op,
+    )
+    assert info.ierr == 0
+    dq = [x[1] - x[0]] * 3
+    S, int_mask = build_coarse_matrix_from_operator(op, (n, n, n), dq, bcs)
+    u_dense = np.zeros(n**3)
+    u_dense[int_mask] = S @ rhs.ravel()[int_mask]
+    np.testing.assert_allclose(
+        np.asarray(u).ravel(), u_dense, rtol=0, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("precision", ["fp64", "mixed"])
+def test_diffusion_manufactured_scaling(precision):
+    """u* = sin(pi x)sin(pi y)sin(pi z), a = 1 + x y z:
+    rhs = a lap(u*) + grad(a).grad(u*) analytic; truncation error must
+    shrink ~h^2 (mixed runs the f64 defect residual through the
+    variable-coefficient operator)."""
+    errs, hs = [], []
+    for n in (17, 33):
+        x = np.linspace(0.0, 1.0, n)
+        Z = x[:, None, None]
+        Y = x[None, :, None]
+        X = x[None, None, :]
+        sx, cx = np.sin(np.pi * X), np.cos(np.pi * X)
+        sy, cy = np.sin(np.pi * Y), np.cos(np.pi * Y)
+        sz, cz = np.sin(np.pi * Z), np.cos(np.pi * Z)
+        U = sz * sy * sx
+        a = 1.0 + Z * Y * X
+        rhs = a * (-3.0 * np.pi**2) * U + np.pi * (
+            Y * X * cz * sy * sx + Z * X * sz * cy * sx + Z * Y * sz * sy * cx
+        )
+        u, info = solve_poisson_bvp(
+            np.zeros((n, n, n)),
+            rhs,
+            (x, x, x),
+            (("D", "D"),) * 3,
+            options=Options(precision=precision, vc_tol=1e-10),
+            operator=DiffusionOperator(lambda q0, q1, q2: 1.0 + q0 * q1 * q2),
+        )
+        assert info.ierr == 0
+        errs.append(np.abs(np.asarray(u, dtype=np.float64) - U).max())
+        hs.append(x[1] - x[0])
+    rate = np.log(errs[0] / errs[1]) / np.log(hs[0] / hs[1])
+    assert 1.7 < rate < 2.3, (rate, errs)
+
+
+def test_diffusion_all_neumann_singular():
+    """All-Neumann variable-coefficient diffusion keeps the constant
+    nullspace for any positive a: mean-pinned solve converges to the
+    mean-subtracted manufactured solution at ~h^2."""
+    op = DiffusionOperator(lambda q0, q1: 1.0 + 0.3 * q0 * q1)
+    assert op.is_singular((("N", "N"), ("N", "N")))
+    errs, hs = [], []
+    for n in (33, 65):
+        x = np.linspace(0.0, 1.0, n)
+        Y = x[:, None]
+        X = x[None, :]
+        cy, sy = np.cos(np.pi * Y), np.sin(np.pi * Y)
+        cx, sx = np.cos(np.pi * X), np.sin(np.pi * X)
+        U = cy * cx
+        a = 1.0 + 0.3 * Y * X
+        # div(a grad U) = a lap U + grad a . grad U
+        rhs = a * (-2.0 * np.pi**2) * U + 0.3 * np.pi * (
+            X * (-sy) * cx + Y * cy * (-sx)
+        )
+        u, info = solve_poisson_bvp(
+            np.zeros((n, n)),
+            rhs,
+            (x, x),
+            (("N", "N"), ("N", "N")),
+            options=Options(precision="fp64", vc_tol=1e-11, mean=True),
+            operator=op,
+        )
+        assert info.ierr == 0
+        got = np.asarray(u)
+        got = got - got.mean()
+        want = U - U.mean()
+        errs.append(np.abs(got - want).max())
+        hs.append(x[1] - x[0])
+    rate = np.log(errs[0] / errs[1]) / np.log(hs[0] / hs[1])
+    assert 1.7 < rate < 2.3, (rate, errs)
 
 
 def test_helmholtz_checkpointed_resume(tmp_path):
