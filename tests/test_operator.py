@@ -612,6 +612,37 @@ def test_diffusion_all_neumann_singular():
     assert 1.7 < rate < 2.3, (rate, errs)
 
 
+def test_diffusion_gspmd_sharded():
+    """The variable-coefficient operator composes with GSPMD sharding
+    exactly like the constant-coefficient clients (the per-level
+    coefficient evaluation is traced into the partitioned program)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from ndsm_tpu.parallel.shard import ShardSpec, make_mesh
+
+    n = 32
+    x = np.linspace(0.0, 1.0, n)
+    h = GridHierarchy.from_mesh((x, x, x))
+    bcs = (("D", "D"), ("N", "N"), ("D", "D"))
+    rhs = _rand((n, n, n), 44)
+    opts = Options(precision="fp64", vc_tol=1e-10)
+    op = DiffusionOperator(_coef_smooth)
+    u_ref, i_ref = PoissonBVP(h, bcs, opts, operator=op).solve(
+        np.zeros_like(rhs), rhs
+    )
+    spec = ShardSpec(mesh=make_mesh(8), min_rows_per_shard=2)
+    u_sh, i_sh = PoissonBVP(h, bcs, opts, shard_spec=spec, operator=op).solve(
+        np.zeros_like(rhs), rhs
+    )
+    assert i_sh.ierr == 0
+    assert i_sh.cycles == i_ref.cycles
+    np.testing.assert_allclose(
+        np.asarray(u_sh), np.asarray(u_ref), rtol=0, atol=1e-11
+    )
+
+
 def test_helmholtz_checkpointed_resume(tmp_path):
     """solve_checkpointed composes with an injected operator (the
     resumable-solve contract holds for non-Poisson problems too)."""
