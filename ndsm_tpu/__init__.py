@@ -77,4 +77,4 @@ __all__ = [
     "IERR_BADMESH",
 ]
 
-__version__ = "0.5.0"
+__version__ = "0.5.1"
