@@ -215,6 +215,14 @@ class DiffusionOperator(MGOperator):
     ``coef`` is compared/hashed by identity (it keys the jit and engine
     caches): reuse one function object per operator, as with any jitted
     closure.
+
+    Performance note: the face coefficients are (re)computed inside the
+    traced relax/residual, so within the engine's cycle ``while_loop``
+    XLA re-materializes them per iteration (loop-invariant iota chains
+    are not hoisted on this backend — PERF_NOTES round 4).  That is the
+    documented cost tier of the generic operator route; an operator
+    whose ``relax`` is a ``pallas_call`` closing over precomputed
+    coefficient arrays gets kernel performance with no engine changes.
     """
 
     coef: object = None  # Callable[*norm_coords] -> positive array
